@@ -1,0 +1,149 @@
+"""Image patch extraction (crop + resize) — the tracker's per-frame preprocess.
+
+TPU-native re-design of reference `pytracking/features/preprocessing.py`
+(`sample_patch:55`, `sample_patch_multiscale:33`, `sample_patch_transformed:14`).
+
+The reference does an integer crop with replicate padding, an integer pre-decimation
+(anti-aliasing), and a host-synchronized bilinear resize — three dynamic-shape ops. Here
+the whole thing is ONE fixed-shape gather-based bilinear warp that runs inside the jitted
+track step: the crop center and size are *traced scalars*, the output size is static, so
+changing target scale never recompiles and never syncs the host. Anti-aliasing is a
+static K×K tap average (area filter) instead of the reference's dynamic decimation.
+
+Coordinate convention (used consistently by all trackers in this framework):
+image pixel centers sit at integer coordinates (0..H-1). Output pixel j of a patch with
+center `pos` and extent `sample_sz` samples image coordinate
+
+    y(j) = pos_y + ((j + 0.5) / out_h - 0.5) * sample_sz_y
+
+so the patch is centered at `pos` and spans exactly `sample_sz`. `patch_to_image` /
+`image_to_patch` below are the inverse pair trackers use to map score-map peaks back to
+image coordinates.
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+def bilinear_sample(im: jnp.ndarray, ys: jnp.ndarray, xs: jnp.ndarray,
+                    replicate: bool = True) -> jnp.ndarray:
+    """Bilinear lookup of im (H, W, C) at continuous coords ys/xs (any matching shape).
+    Border mode: replicate (clamp) like the reference's F.pad(replicate), or zero."""
+    H, W = im.shape[0], im.shape[1]
+    y0 = jnp.floor(ys)
+    x0 = jnp.floor(xs)
+    dy = (ys - y0)[..., None]
+    dx = (xs - x0)[..., None]
+
+    def tap(iy, ix):
+        v = im[jnp.clip(iy, 0, H - 1).astype(jnp.int32),
+               jnp.clip(ix, 0, W - 1).astype(jnp.int32)]
+        if not replicate:
+            inside = ((iy >= 0) & (iy < H) & (ix >= 0) & (ix < W))[..., None]
+            v = jnp.where(inside, v, 0.0)
+        return v
+
+    return ((1 - dy) * (1 - dx) * tap(y0, x0) + (1 - dy) * dx * tap(y0, x0 + 1)
+            + dy * (1 - dx) * tap(y0 + 1, x0) + dy * dx * tap(y0 + 1, x0 + 1))
+
+
+def _shrink_inside(pos, sample_sz, im_sz, mode: str, max_scale_change):
+    """'inside'/'inside_major' border modes: shrink the sample size so it fits the image
+    (at most by max_scale_change) and shift the crop inside — traced float math mirroring
+    reference sample_patch:77-123."""
+    im_sz = jnp.asarray(im_sz, jnp.float32)
+    shrink = sample_sz / im_sz
+    shrink = jnp.max(shrink) if mode == "inside" else jnp.min(shrink)
+    shrink = jnp.clip(shrink, 1.0, max_scale_change if max_scale_change else None)
+    sample_sz = sample_sz / shrink
+    # shift crop fully inside (only along axes where it fits)
+    tl = pos - sample_sz / 2
+    br = pos + sample_sz / 2
+    shift = jnp.maximum(-tl - 0.5, 0.0) - jnp.maximum(br - (im_sz - 0.5), 0.0)
+    fits = sample_sz <= im_sz
+    pos = jnp.where(fits, pos + shift, im_sz / 2 - 0.5)
+    return pos, sample_sz
+
+
+def sample_patch(im: jnp.ndarray, pos: jnp.ndarray, sample_sz: jnp.ndarray,
+                 output_sz: Tuple[int, int], mode: str = "replicate",
+                 max_scale_change=None, aa_taps: int = 2,
+                 is_mask: bool = False) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Extract a patch of (traced) extent `sample_sz` centered at (traced) `pos` from
+    im (H, W, C), resampled to static `output_sz` (oh, ow).
+
+    Returns (patch (oh, ow, C), coords (4,) = [tl_y, tl_x, br_y, br_x] in image coords —
+    the actual extent sampled, for mapping results back).
+    """
+    oh, ow = output_sz
+    pos = jnp.asarray(pos, jnp.float32)
+    sample_sz = jnp.asarray(sample_sz, jnp.float32)
+    if mode in ("inside", "inside_major"):
+        pos, sample_sz = _shrink_inside(pos, sample_sz, im.shape[:2], mode, max_scale_change)
+
+    scale = sample_sz / jnp.asarray([oh, ow], jnp.float32)
+    j = (jnp.arange(oh, dtype=jnp.float32) + 0.5) / oh - 0.5
+    i = (jnp.arange(ow, dtype=jnp.float32) + 0.5) / ow - 0.5
+    ys = pos[0] + j * sample_sz[0]
+    xs = pos[1] + i * sample_sz[1]
+
+    if is_mask or aa_taps <= 1:
+        yy, xx = jnp.meshgrid(ys, xs, indexing="ij")
+        if is_mask:
+            # nearest-neighbor for masks (reference sample_patch:146)
+            H, W = im.shape[0], im.shape[1]
+            patch = im[jnp.clip(jnp.round(yy), 0, H - 1).astype(jnp.int32),
+                       jnp.clip(jnp.round(xx), 0, W - 1).astype(jnp.int32)]
+        else:
+            patch = bilinear_sample(im, yy, xx)
+    else:
+        # K×K-tap area anti-aliasing, only active where we downsample (taps collapse to
+        # the same point when scale <= 1 would over-blur; scale tap spread accordingly)
+        K = aa_taps
+        t = (jnp.arange(K, dtype=jnp.float32) + 0.5) / K - 0.5
+        spread_y = jnp.maximum(scale[0], 1.0)
+        spread_x = jnp.maximum(scale[1], 1.0)
+        acc = 0.0
+        for ty in range(K):
+            for tx in range(K):
+                yy, xx = jnp.meshgrid(ys + t[ty] * spread_y, xs + t[tx] * spread_x,
+                                      indexing="ij")
+                acc = acc + bilinear_sample(im, yy, xx)
+        patch = acc / (K * K)
+
+    coords = jnp.concatenate([pos - sample_sz / 2, pos + sample_sz / 2])
+    return patch, coords
+
+
+def sample_patch_multiscale(im: jnp.ndarray, pos: jnp.ndarray, scales: jnp.ndarray,
+                            base_sz: jnp.ndarray, output_sz: Tuple[int, int],
+                            mode: str = "replicate", max_scale_change=None,
+                            aa_taps: int = 2) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Patches at multiple scales (reference preprocessing.py:33-52): scales (S,) traced,
+    returns (S, oh, ow, C) and coords (S, 4)."""
+    fn = lambda s: sample_patch(im, pos, s * base_sz, output_sz, mode=mode,
+                                max_scale_change=max_scale_change, aa_taps=aa_taps)
+    return jax.vmap(fn)(jnp.atleast_1d(jnp.asarray(scales, jnp.float32)))
+
+
+def patch_to_image(patch_pos: jnp.ndarray, coords: jnp.ndarray,
+                   output_sz: Tuple[int, int]) -> jnp.ndarray:
+    """Map (y, x) positions in patch pixel units to image coordinates using the coords
+    returned by sample_patch. patch_pos (..., 2)."""
+    tl = coords[..., :2]
+    sz = coords[..., 2:] - coords[..., :2]
+    out = jnp.asarray(output_sz, jnp.float32)
+    return tl + (patch_pos + 0.5) / out * sz
+
+
+def image_to_patch(im_pos: jnp.ndarray, coords: jnp.ndarray,
+                   output_sz: Tuple[int, int]) -> jnp.ndarray:
+    """Inverse of patch_to_image."""
+    tl = coords[..., :2]
+    sz = coords[..., 2:] - coords[..., :2]
+    out = jnp.asarray(output_sz, jnp.float32)
+    return (im_pos - tl) * out / sz - 0.5

