@@ -1,0 +1,67 @@
+"""Dataset registry: name → (module, class, kwargs).
+
+Re-design of reference `pytracking/evaluation/datasets.py` (dataset_dict:9-54,
+get_dataset:69). Adapters are imported lazily by module path.
+"""
+
+from __future__ import annotations
+
+import importlib
+from collections import namedtuple
+
+from pytracking_tpu.evaluation.data import SequenceList
+
+DatasetInfo = namedtuple("DatasetInfo", ["module", "class_name", "kwargs"])
+
+_BASE = "pytracking_tpu.evaluation.adapters.%s"
+
+dataset_dict = dict(
+    synthetic=DatasetInfo(module=_BASE % "synthetic", class_name="SyntheticDataset",
+                          kwargs={}),
+    synthetic_long=DatasetInfo(module=_BASE % "synthetic", class_name="SyntheticDataset",
+                               kwargs={"num_sequences": 5, "num_frames": 120}),
+    otb=DatasetInfo(module=_BASE % "otb", class_name="OTBDataset", kwargs={}),
+    nfs=DatasetInfo(module=_BASE % "nfs", class_name="NFSDataset", kwargs={}),
+    uav=DatasetInfo(module=_BASE % "uav", class_name="UAVDataset", kwargs={}),
+    lasot=DatasetInfo(module=_BASE % "lasot", class_name="LaSOTDataset", kwargs={}),
+    lasot_extension_subset=DatasetInfo(module=_BASE % "lasotextensionsubset",
+                                       class_name="LaSOTExtensionSubsetDataset",
+                                       kwargs={}),
+    got10k_test=DatasetInfo(module=_BASE % "got10k", class_name="GOT10KDataset",
+                            kwargs={"split": "test"}),
+    got10k_val=DatasetInfo(module=_BASE % "got10k", class_name="GOT10KDataset",
+                           kwargs={"split": "val"}),
+    got10k_ltrval=DatasetInfo(module=_BASE % "got10k", class_name="GOT10KDataset",
+                              kwargs={"split": "ltrval"}),
+    trackingnet=DatasetInfo(module=_BASE % "trackingnet",
+                            class_name="TrackingNetDataset", kwargs={}),
+    vot18=DatasetInfo(module=_BASE % "vot", class_name="VOTDataset", kwargs={}),
+    vot22=DatasetInfo(module=_BASE % "vot", class_name="VOTDataset",
+                      kwargs={"year": 22}),
+    avist=DatasetInfo(module=_BASE % "avist", class_name="AVisTDataset", kwargs={}),
+    tpl=DatasetInfo(module=_BASE % "tpl", class_name="TPLDataset", kwargs={}),
+    tpl_nootb=DatasetInfo(module=_BASE % "tpl", class_name="TPLDataset",
+                          kwargs={"exclude_otb": True}),
+    dv2017_val=DatasetInfo(module=_BASE % "davis", class_name="DavisDataset",
+                           kwargs={"version": "2017", "split": "val"}),
+    yt2019_valid=DatasetInfo(module=_BASE % "youtubevos", class_name="YouTubeVOSDataset",
+                             kwargs={"version": "2019", "split": "valid"}),
+)
+
+
+def load_dataset(name: str):
+    """Import and build a single dataset (reference datasets.py:56-66)."""
+    name = name.lower()
+    if name not in dataset_dict:
+        raise ValueError(f"Unknown dataset '{name}'")
+    info = dataset_dict[name]
+    m = importlib.import_module(info.module)
+    return getattr(m, info.class_name)(**info.kwargs).get_sequence_list()
+
+
+def get_dataset(*args) -> SequenceList:
+    """Concatenate one or more datasets by name (reference datasets.py:69-75)."""
+    dset = SequenceList()
+    for name in args:
+        dset.extend(load_dataset(name))
+    return dset

@@ -1,0 +1,158 @@
+"""Per-sequence evaluation driver and result IO.
+
+Re-design of reference `pytracking/evaluation/running.py` (run_dataset:189,
+run_sequence:138, _save_tracker_output:58). Result files are written in the EXACT
+reference format so the reference's analysis tools (and ours) read either framework's
+results interchangeably:
+  <results_dir>/<tracker>/<param>/<seq_name>.txt           bbox per frame, tab-separated ints
+  <seq_name>_time.txt                                       per-frame seconds
+  multi-object: <seq_name>_<obj_id>.txt etc.
+
+Eval-time parallelism: the reference uses multiprocessing.Pool over (seq × tracker)
+(running.py:198-218). Here scaling out is by sharding the sequence list across
+processes/hosts (`shard`/`num_shards` args) — each TPU process takes every
+num_shards-th sequence; there is no inter-process communication at all.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from typing import List, Optional
+
+import numpy as np
+
+from pytracking_tpu.evaluation.data import Sequence
+
+
+def _read_image(path: str) -> np.ndarray:
+    if path.startswith("synthetic://"):
+        from pytracking_tpu.evaluation.adapters.synthetic import load_synthetic_frame
+        return load_synthetic_frame(path)
+    try:
+        import cv2
+        im = cv2.imread(path)
+        return cv2.cvtColor(im, cv2.COLOR_BGR2RGB)
+    except ImportError:
+        from PIL import Image
+        return np.asarray(Image.open(path).convert("RGB"))
+
+
+def _results_exist(tracker, seq: Sequence) -> bool:
+    """Skip-if-done (reference running.py:141-152)."""
+    if seq.object_ids is None:
+        path = os.path.join(tracker.results_dir, f"{seq.name}.txt")
+        return os.path.isfile(path)
+    paths = [os.path.join(tracker.results_dir, f"{seq.name}_{oid}.txt")
+             for oid in seq.object_ids]
+    return all(os.path.isfile(p) for p in paths)
+
+
+def _save_tracker_output(seq: Sequence, tracker, output: dict):
+    """Write results in the reference's format (running.py:58-135)."""
+    os.makedirs(tracker.results_dir, exist_ok=True)
+    base = os.path.join(tracker.results_dir, seq.name)
+
+    def save_bb(fname, data):
+        arr = np.array(data).astype(int)
+        np.savetxt(fname, arr, delimiter="\t", fmt="%d")
+
+    def save_time(fname, data):
+        np.savetxt(fname, np.array(data), delimiter="\t", fmt="%f")
+
+    def save_score(fname, data):
+        np.savetxt(fname, np.array(data).astype(float), delimiter="\t", fmt="%.2f")
+
+    for key, data in output.items():
+        if not data:
+            continue
+        if key == "target_bbox":
+            if isinstance(data[0], (dict,)):  # multi-object
+                by_obj = {}
+                for frame in data:
+                    for oid, bb in frame.items():
+                        by_obj.setdefault(oid, []).append(bb)
+                for oid, d in by_obj.items():
+                    save_bb(f"{base}_{oid}.txt", d)
+            else:
+                save_bb(f"{base}.txt", data)
+        elif key == "time":
+            if isinstance(data[0], dict):
+                by_obj = {}
+                for frame in data:
+                    for oid, t in frame.items():
+                        by_obj.setdefault(oid, []).append(t)
+                for oid, d in by_obj.items():
+                    save_time(f"{base}_{oid}_time.txt", d)
+            else:
+                save_time(f"{base}_time.txt", data)
+        elif key == "object_presence_score":
+            save_score(f"{base}_object_presence_score.txt", data)
+        elif key == "segmentation":
+            from pytracking_tpu.utils.png_io import imwrite_indexed
+            seg_dir = os.path.join(tracker.segmentation_dir, seq.name)
+            os.makedirs(seg_dir, exist_ok=True)
+            for frame_path, seg in zip(seq.frames, data):
+                name = os.path.splitext(os.path.basename(frame_path))[0]
+                imwrite_indexed(os.path.join(seg_dir, name + ".png"), seg)
+
+
+def run_sequence(seq: Sequence, tracker, debug: int = 0,
+                 visdom_info=None) -> Optional[dict]:
+    """Track one sequence, save results (reference running.py:138-186)."""
+    if debug == 0 and _results_exist(tracker, seq):
+        print(f"FPS: {-1} -- skipping {seq.name}, results exist")
+        return None
+
+    output = {"target_bbox": [], "time": [], "object_presence_score": [],
+              "segmentation": []}
+
+    def track_frames():
+        image = _read_image(seq.frames[0])
+        start = time.time()
+        t = tracker.create_tracker()
+        info = seq.init_info()
+        out = t.initialize(image, info) or {}
+        init_time = time.time() - start
+        output["target_bbox"].append(info.get("init_bbox"))
+        output["time"].append(init_time)
+
+        for frame_num, frame_path in enumerate(seq.frames[1:], start=1):
+            image = _read_image(frame_path)
+            start = time.time()
+            info = seq.frame_info(frame_num)
+            out = t.track(image, info)
+            output["time"].append(time.time() - start)
+            output["target_bbox"].append(out["target_bbox"])
+            if "object_presence_score" in out:
+                output["object_presence_score"].append(out["object_presence_score"])
+            if "segmentation" in out:
+                output["segmentation"].append(out["segmentation"])
+
+    try:
+        track_frames()
+    except Exception as e:  # per-sequence fault isolation (reference running.py:164-170)
+        if debug:
+            raise
+        print(f"Sequence {seq.name} crashed: {e!r} -- skipping")
+        return None
+
+    total = sum(output["time"])
+    n = len(output["time"])
+    print(f"Tracker: {tracker.name} {tracker.parameter_name} , "
+          f"Sequence: {seq.name}, FPS: {n / max(total, 1e-9):.2f}")
+    _save_tracker_output(seq, tracker, output)
+    return output
+
+
+def run_dataset(dataset, trackers: List, debug: int = 0, threads: int = 0,
+                shard: int = 0, num_shards: int = 1):
+    """Run (sequence × tracker) jobs (reference running.py:189-218). `shard` /
+    `num_shards` shard the sequence list across processes/hosts for TPU-pod scale-out."""
+    seqs = [s for i, s in enumerate(dataset) if i % num_shards == shard]
+    print(f"Evaluating {len(trackers)} trackers on {len(seqs)} sequences "
+          f"(shard {shard}/{num_shards})")
+    for seq in seqs:
+        for tracker in trackers:
+            run_sequence(seq, tracker, debug=debug)
+    print("Done")

@@ -1,0 +1,92 @@
+"""Tracker wrapper: loads tracker class + parameters by name, manages result paths,
+runs sequences/videos.
+
+Re-design of reference `pytracking/evaluation/tracker.py` (Tracker:37): the same
+registry-by-import-path pattern — `pytracking_tpu.parameter.<name>.<param>` must expose
+`parameters()` returning a `TrackerSpec` (static params + net constructor + variables),
+and `pytracking_tpu.trackers.<name>` exposes the tracker class via
+`get_tracker_class()`.
+"""
+
+from __future__ import annotations
+
+import importlib
+import os
+import time
+from dataclasses import dataclass
+from typing import Any, Callable, List, Optional
+
+import numpy as np
+
+from pytracking_tpu.evaluation.environment import env_settings
+
+
+@dataclass
+class TrackerSpec:
+    """What a parameter file produces: the static tracker params plus the model."""
+    params: Any
+    net: Any = None
+    variables: Any = None
+    tracker_kwargs: dict = None
+
+
+class Tracker:
+    """Wraps a tracker name + parameter name (reference tracker.py:37-105)."""
+
+    def __init__(self, name: str, parameter_name: str, run_id: Optional[int] = None,
+                 display_name: Optional[str] = None):
+        self.name = name
+        self.parameter_name = parameter_name
+        self.run_id = run_id
+        self.display_name = display_name
+
+        env = env_settings()
+        if self.run_id is None:
+            self.results_dir = os.path.join(env.results_path, name, parameter_name)
+        else:
+            self.results_dir = os.path.join(env.results_path, name,
+                                            f"{parameter_name}_{run_id:03d}")
+        self.segmentation_dir = os.path.join(env.segmentation_path, name, parameter_name)
+
+        tracker_module = importlib.import_module(f"pytracking_tpu.trackers.{name}")
+        self.tracker_class = tracker_module.get_tracker_class()
+        self._spec = None
+
+    def get_parameters(self) -> TrackerSpec:
+        if self._spec is None:
+            param_module = importlib.import_module(
+                f"pytracking_tpu.parameter.{self.name}.{self.parameter_name}")
+            self._spec = param_module.parameters()
+        return self._spec
+
+    def create_tracker(self):
+        spec = self.get_parameters()
+        kwargs = spec.tracker_kwargs or {}
+        return self.tracker_class(spec.params, spec.net, spec.variables, **kwargs)
+
+    # ------------------------------------------------------------------ video/webcam
+
+    def run_video(self, videofilepath: str, optional_box=None, debug: int = 0):
+        """Interactive/video-file tracking (reference tracker.py:260-446). Draws the
+        output box on each frame with OpenCV; if no box given, asks for a selection."""
+        import cv2
+
+        tracker = self.create_tracker()
+        cap = cv2.VideoCapture(videofilepath)
+        success, frame = cap.read()
+        if not success:
+            raise IOError(f"Cannot read {videofilepath}")
+        frame_rgb = cv2.cvtColor(frame, cv2.COLOR_BGR2RGB)
+        if optional_box is None:
+            optional_box = cv2.selectROI("select", frame, False)
+        tracker.initialize(frame_rgb, {"init_bbox": list(optional_box)})
+
+        results = [list(optional_box)]
+        while True:
+            success, frame = cap.read()
+            if not success:
+                break
+            out = tracker.track(cv2.cvtColor(frame, cv2.COLOR_BGR2RGB))
+            results.append(out["target_bbox"])
+        cap.release()
+        return results

@@ -22,17 +22,32 @@ import jax.numpy as jnp
 from jax import lax
 
 
-def apply_filter(feat: jnp.ndarray, filt: jnp.ndarray) -> jnp.ndarray:
-    """Cross-correlate each sample with its own filter, 'SAME' padding
-    (reference layers/filter.py:5-34; reference pads with filter_sz//2)."""
+def apply_filter(feat: jnp.ndarray, filt: jnp.ndarray, mode: str = "dimp") -> jnp.ndarray:
+    """Cross-correlate each sample with its own filter.
+
+    mode='dimp' (reference layers/filter.py:5-34): pad filter_sz//2 on BOTH sides —
+    output is H+1 for even filters (centered score grid) and H for odd ones; the DiMP
+    tracker's displacement math depends on this convention (dimp.py:232,243).
+
+    mode='same' (reference libs/operation.py:17-21, used by ATOM/ECO): same padding but
+    the trailing row/col is dropped for even filters — output is always H×W.
+    """
+    fh, fw = filt.shape[1], filt.shape[2]
+    pad = [(fh // 2, fh // 2), (fw // 2, fw // 2)]
 
     def one(f, w):
         return lax.conv_general_dilated(
-            f[None], w, window_strides=(1, 1), padding="SAME",
+            f[None], w, window_strides=(1, 1), padding=pad,
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
             preferred_element_type=jnp.float32)[0]
 
-    return jax.vmap(one)(feat, filt)
+    out = jax.vmap(one)(feat, filt)
+    if mode == "same":
+        if fh % 2 == 0:
+            out = out[:, :-1]
+        if fw % 2 == 0:
+            out = out[:, :, :-1]
+    return out
 
 
 def apply_feat_transpose(feat: jnp.ndarray, activations: jnp.ndarray,

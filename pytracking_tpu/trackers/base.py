@@ -1,0 +1,32 @@
+"""Tracker interface.
+
+Re-design of reference `pytracking/tracker/base/basetracker.py` (BaseTracker:3):
+`initialize(image, info) -> dict` and `track(image, info) -> dict` with dict outputs
+containing 'target_bbox' (x, y, w, h) and optionally 'segmentation',
+'object_presence_score'.
+
+TPU-first contract: concrete trackers keep ALL per-frame state in a fixed-shape pytree
+and implement the per-frame computation as a single jitted function
+`(state, image) -> (state, out)`. The host-side `track` wrapper only uploads the frame
+and reads back the (small) output dict — device→host sync is one bbox per frame, and the
+returned arrays can be fetched asynchronously by the harness.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional
+
+
+class BaseTracker:
+    multiobj_mode = "parallel"
+    predicts_segmentation_mask = False
+
+    def __init__(self, params):
+        self.params = params
+        self.visdom = None
+
+    def initialize(self, image, info: Dict[str, Any]) -> Optional[dict]:
+        raise NotImplementedError
+
+    def track(self, image, info: Optional[dict] = None) -> dict:
+        raise NotImplementedError

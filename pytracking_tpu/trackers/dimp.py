@@ -1,0 +1,606 @@
+"""DiMP tracker — meta-learned discriminative filter with IoU-Net box refinement.
+
+Re-design of reference `pytracking/tracker/dimp/dimp.py` (DiMP:16) as a TPU-native
+online tracker:
+
+  * ALL per-frame state lives in the fixed-shape `DiMPState` pytree: position/scale,
+    the target filter, a `sample_memory_size`-slot ring buffer of classification
+    features with a weight vector (zero weight == empty slot), the IoU modulation
+    vectors, frame counter, and a PRNG key.
+  * `initialize` and `track` are each ONE jitted function. Data-dependent decisions
+    (the reference's 'not_found'/'hard_negative'/'uncertain' flags, dimp.py:238-303)
+    are computed on device and consumed via masking and `lax.switch` — there is no
+    `.item()` host sync anywhere in the frame loop (the reference syncs at
+    dimp.py:154, 172, 259-301).
+  * The filter-update iteration count depends on the flag (0 / net_opt_hn_iter /
+    net_opt_update_iter, dimp.py:615-623): implemented as a `lax.switch` over branches
+    with static iteration counts.
+  * The memory update (weighted replacement, dimp.py:430-484) is a pure scatter with
+    on-device argmin — identical math, fixed shapes.
+  * IoU-Net gradient-ascent box refinement (dimp.py:716-751) uses `jax.grad` of
+    `predict_iou` w.r.t. the proposal boxes inside the same jitted step.
+
+Flag encoding: 0 normal, 1 not_found, 2 hard_negative, 3 uncertain.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+from dataclasses import dataclass, field
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import struct
+
+from pytracking_tpu.ops import augmentation as aug
+from pytracking_tpu.ops import dcf
+from pytracking_tpu.ops.patch import sample_patch
+from pytracking_tpu.trackers.base import BaseTracker
+
+FLAG_NORMAL, FLAG_NOT_FOUND, FLAG_HARD_NEG, FLAG_UNCERTAIN = 0, 1, 2, 3
+FLAG_NAMES = ["normal", "not_found", "hard_negative", "uncertain"]
+
+
+@dataclass(frozen=True)
+class DiMPParams:
+    """Static tracker configuration (reference pytracking/parameter/dimp/dimp50.py)."""
+    image_sample_size: int = 18 * 16
+    search_area_scale: float = 5.0
+    border_mode: str = "replicate"
+    patch_max_scale_change: Optional[float] = None
+    feature_stride: int = 16
+    kernel_size: int = 4                  # classifier filter size
+    # learning
+    sample_memory_size: int = 50
+    learning_rate: float = 0.01
+    init_samples_minimum_weight: float = 0.25
+    train_skipping: int = 20
+    train_sample_interval: int = 1
+    update_classifier: bool = True
+    net_opt_iter: int = 10
+    net_opt_update_iter: int = 2
+    net_opt_hn_iter: int = 1
+    # detection
+    window_output: bool = False
+    score_preprocess: str = "none"        # 'none' | 'exp' | 'softmax'
+    softmax_reg: Optional[float] = None
+    # init augmentation
+    use_augmentation: bool = True
+    augmentation: tuple = (("fliplr", True),
+                           ("rotate", (10, -10, 45, -45)),
+                           ("blur", ((3, 1), (1, 3), (2, 2))),
+                           ("relativeshift", ((0.6, 0.6), (-0.6, 0.6), (0.6, -0.6),
+                                              (-0.6, -0.6))),
+                           ("dropout", (2, 0.2)))
+    augmentation_expansion_factor: float = 2.0
+    random_shift_factor: float = 1 / 3
+    # advanced localization
+    advanced_localization: bool = True
+    target_not_found_threshold: float = 0.25
+    uncertain_threshold: float = -float("inf")
+    hard_sample_threshold: float = -float("inf")
+    distractor_threshold: float = 0.8
+    hard_negative_threshold: float = 0.5
+    target_neighborhood_scale: float = 2.2
+    displacement_scale: float = 0.8
+    hard_negative_learning_rate: float = 0.02
+    update_scale_when_uncertain: bool = True
+    perform_hn_without_windowing: bool = False
+    target_inside_ratio: float = 0.2
+    # IoU net
+    use_iou_net: bool = True
+    iounet_augmentation: bool = False
+    iounet_k: int = 3
+    num_init_random_boxes: int = 9
+    box_jitter_pos: float = 0.1
+    box_jitter_sz: float = 0.5
+    maximal_aspect_ratio: float = 6.0
+    box_refinement_iter: int = 5
+    box_refinement_step_length: float = 1.0
+    box_refinement_step_decay: float = 1.0
+    use_iounet_pos_for_learning: bool = True
+
+    def aug_dict(self) -> dict:
+        return dict(self.augmentation) if self.use_augmentation else {}
+
+
+class DiMPState(struct.PyTreeNode):
+    pos: jnp.ndarray                 # (2,) (y, x)
+    target_sz: jnp.ndarray           # (2,) (h, w)
+    target_scale: jnp.ndarray        # ()
+    base_target_sz: jnp.ndarray      # (2,)
+    image_sz: jnp.ndarray            # (2,) true (H, W)
+    min_scale: jnp.ndarray           # ()
+    max_scale: jnp.ndarray           # ()
+    target_filter: jnp.ndarray       # (1, fh, fw, C, 1)
+    mem_samples: jnp.ndarray         # (M, Hf, Wf, C)
+    mem_boxes: jnp.ndarray           # (M, 4) xywh in patch coords
+    mem_weights: jnp.ndarray         # (M,)
+    num_stored: jnp.ndarray          # () int32
+    num_init: jnp.ndarray            # () int32
+    prev_ind: jnp.ndarray            # () int32, -1 = none
+    iou_mod3: jnp.ndarray            # (1, D)
+    iou_mod4: jnp.ndarray            # (1, D)
+    frame_num: jnp.ndarray           # () int32
+    key: jax.Array                   # PRNG
+    flag: jnp.ndarray                # () int32, last localization flag
+    max_score: jnp.ndarray           # () f32
+
+
+def _get_iounet_box(pos, sz, sample_pos, sample_scale, img_sample_sz):
+    """Image-coord target -> (x, y, w, h) box in the patch frame
+    (reference dimp.py:498-504)."""
+    box_center = (pos - sample_pos) / sample_scale + (img_sample_sz - 1) / 2
+    box_sz = sz / sample_scale
+    target_ul = box_center - (box_sz - 1) / 2
+    return jnp.concatenate([target_ul[::-1], box_sz[::-1]])
+
+
+class DiMPTracker(BaseTracker):
+    """Host wrapper holding the static config, the network variables, and the jitted
+    init/track functions. One instance tracks one target in one sequence."""
+
+    multiobj_mode = "parallel"
+
+    def __init__(self, params: DiMPParams, net, variables):
+        super().__init__(params)
+        self.net = net
+        self.variables = variables
+        self._jit_init = jax.jit(functools.partial(self._initialize_impl))
+        self._jit_track = jax.jit(functools.partial(self._track_impl))
+        self.state: Optional[DiMPState] = None
+        self._seed = 0
+
+    # ------------------------------------------------------------------ net helpers
+
+    def _backbone(self, im_patches):
+        return self.net.apply(self.variables, im_patches,
+                              method=lambda m, x: m.extract_backbone(x))
+
+    def _clf_feat(self, backbone_feat):
+        return self.net.apply(self.variables, backbone_feat,
+                              method=lambda m, f: m.extract_classification_feat(f))
+
+    def _classify(self, weights, feat):
+        return self.net.apply(self.variables, weights, feat,
+                              method=lambda m, w, f: m.clf_classify(w, f))
+
+    def _get_filter(self, feat, bb, num_iter):
+        return self.net.apply(
+            self.variables, feat, bb,
+            method=lambda m, f, b: m.clf_get_filter(f, b, num_iter=num_iter))
+
+    def _run_optimizer(self, weights, feat, bb, sample_weight, num_iter):
+        return self.net.apply(
+            self.variables, weights, feat, bb,
+            method=lambda m, w, f, b: m.classifier.filter_optimizer(
+                w, feat=f, bb=b, sample_weight=sample_weight, num_iter=num_iter))
+
+    def _iou_modulation(self, backbone_feat, bb):
+        return self.net.apply(self.variables, backbone_feat, bb,
+                              method=lambda m, f, b: m.iou_get_modulation(f, b))
+
+    def _iou_feat(self, backbone_feat):
+        return self.net.apply(self.variables, backbone_feat,
+                              method=lambda m, f: m.iou_get_iou_feat(f))
+
+    def _predict_iou(self, modulation, iou_feat, boxes):
+        return self.net.apply(self.variables, modulation, iou_feat, boxes,
+                              method=lambda m, mo, f, b: m.iou_predict(mo, f, b))
+
+    # ------------------------------------------------------------------ geometry
+
+    @property
+    def _img_sample_sz(self):
+        s = self.params.image_sample_size
+        return (s, s)
+
+    @property
+    def _feature_sz(self):
+        return self.params.image_sample_size // self.params.feature_stride
+
+    @property
+    def _score_sz(self):
+        return self._feature_sz + (self.params.kernel_size + 1) % 2
+
+    def _output_window(self):
+        if not self.params.window_output:
+            return None
+        return dcf.hann2d((self._score_sz, self._score_sz))
+
+    # ------------------------------------------------------------------ initialize
+
+    def initialize(self, image, info: Dict[str, Any]) -> dict:
+        """Host entry: image (H, W, 3) uint8/float RGB, info['init_bbox'] = [x,y,w,h]."""
+        im = jnp.asarray(np.ascontiguousarray(image), jnp.float32)
+        bbox = jnp.asarray(info["init_bbox"], jnp.float32)
+        key = jax.random.PRNGKey(self._seed)
+        # static host-side randomness for augmentation shifts (once per sequence)
+        self._aug_rng = np.random.RandomState(self._seed)
+        self.state = self._jit_init(im, bbox, key)
+        return {}
+
+    def _initialize_impl(self, im, bbox, key) -> DiMPState:
+        p = self.params
+        pos = jnp.array([bbox[1] + (bbox[3] - 1) / 2, bbox[0] + (bbox[2] - 1) / 2])
+        target_sz = jnp.array([bbox[3], bbox[2]])
+        image_sz = jnp.array(im.shape[:2], jnp.float32)
+        img_sample_sz = jnp.array(self._img_sample_sz, jnp.float32)
+
+        search_area = jnp.prod(target_sz * p.search_area_scale)
+        target_scale = jnp.sqrt(search_area) / jnp.sqrt(jnp.prod(img_sample_sz))
+        base_target_sz = target_sz / target_scale
+        min_scale = jnp.max(10.0 / base_target_sz)
+        max_scale = jnp.min(image_sz / base_target_sz)
+
+        # ---- augmented init patches (reference generate_init_samples dimp.py:329-397)
+        init_sample_pos = jnp.round(pos)
+        init_sample_scale = target_scale
+        aug_exp = p.augmentation_expansion_factor
+        exp_sz = int(round(p.image_sample_size * aug_exp))
+        exp_sz += (exp_sz - p.image_sample_size) % 2
+        base_patch, _ = sample_patch(im, init_sample_pos,
+                                     init_sample_scale * exp_sz * jnp.ones(2),
+                                     (exp_sz, exp_sz), mode=p.border_mode,
+                                     max_scale_change=p.patch_max_scale_change)
+
+        augs = p.aug_dict()
+        transforms = aug.build_transforms(
+            {k: v for k, v in augs.items() if k != "dropout"},
+            self._img_sample_sz, p.random_shift_factor, self._aug_rng)
+        im_patches = aug.apply_all(base_patch, transforms,
+                                   self._img_sample_sz)      # (T, s, s, 3)
+
+        backbone_feat = self._backbone(im_patches)
+        x = self._clf_feat(backbone_feat)                    # (T, Hf, Wf, C)
+
+        # dropout augmentation on classification features (dimp.py:543-547)
+        num_drop = 0
+        if "dropout" in augs and p.use_augmentation:
+            num_drop, prob = augs["dropout"]
+            key, dkey = jax.random.split(key)
+            x = jnp.concatenate([x, aug.dropout2d(x, dkey, num_drop, prob)])
+
+        # ---- target boxes per augmented sample (dimp.py:399-408)
+        cls_target_box = _get_iounet_box(pos, target_sz, init_sample_pos,
+                                         init_sample_scale, img_sample_sz)
+        shifts = [jnp.array([t.shift[1], t.shift[0], 0.0, 0.0]) for t in transforms]
+        shifts += [shifts[0]] * num_drop
+        target_boxes = jnp.stack([cls_target_box + s for s in shifts])  # (T+D, 4)
+
+        # ---- learn the filter (dimp.py:571-574)
+        feat_ns = x[:, None]                                  # (N, 1, Hf, Wf, C)
+        bb_ns = target_boxes[:, None]
+        target_filter, _, _ = self._get_filter(feat_ns, bb_ns, p.net_opt_iter)
+
+        # ---- memory (dimp.py:410-428)
+        M = p.sample_memory_size
+        n_init = x.shape[0]
+        mem_samples = jnp.zeros((M,) + x.shape[1:], x.dtype).at[:n_init].set(x)
+        mem_boxes = jnp.zeros((M, 4)).at[:n_init].set(target_boxes)
+        mem_weights = jnp.zeros((M,)).at[:n_init].set(1.0 / n_init)
+
+        # ---- IoU-Net modulation from the identity sample (dimp.py:507-533)
+        iou_bb = cls_target_box + jnp.array([transforms[0].shift[1],
+                                             transforms[0].shift[0], 0.0, 0.0])
+        bfeat_first = {k: v[:1] for k, v in backbone_feat.items()}
+        mod3, mod4 = self._iou_modulation(bfeat_first, iou_bb[None])
+
+        return DiMPState(
+            pos=pos, target_sz=target_sz, target_scale=target_scale,
+            base_target_sz=base_target_sz, image_sz=image_sz,
+            min_scale=min_scale, max_scale=max_scale,
+            target_filter=target_filter,
+            mem_samples=mem_samples, mem_boxes=mem_boxes, mem_weights=mem_weights,
+            num_stored=jnp.asarray(n_init, jnp.int32),
+            num_init=jnp.asarray(n_init, jnp.int32),
+            prev_ind=jnp.asarray(-1, jnp.int32),
+            iou_mod3=mod3, iou_mod4=mod4,
+            frame_num=jnp.asarray(1, jnp.int32),
+            key=key, flag=jnp.asarray(0, jnp.int32), max_score=jnp.asarray(1.0))
+
+    # ------------------------------------------------------------------ track
+
+    def track(self, image, info: Optional[dict] = None) -> dict:
+        im = jnp.asarray(np.ascontiguousarray(image), jnp.float32)
+        self.state, out = self._jit_track(self.state, im)
+        bbox = np.asarray(out["target_bbox"]).tolist()
+        return {"target_bbox": bbox,
+                "max_score": float(out["max_score"]),
+                "flag": FLAG_NAMES[int(out["flag"])]}
+
+    def _track_impl(self, state: DiMPState, im) -> Tuple[DiMPState, dict]:
+        p = self.params
+        img_sample_sz = jnp.array(self._img_sample_sz, jnp.float32)
+        feat_sz = float(self._feature_sz)
+        score_sz = float(self._score_sz)
+        output_sz = score_sz  # = feat_sz + (ksz+1)%2
+
+        state = state.replace(frame_num=state.frame_num + 1)
+
+        # ---- sample the search region (dimp.py:106-113)
+        centered_pos = state.pos + ((feat_sz + p.kernel_size) % 2) * \
+            state.target_scale * img_sample_sz / (2 * feat_sz)
+        patch, coords = sample_patch(im, centered_pos,
+                                     state.target_scale * img_sample_sz,
+                                     self._img_sample_sz, mode=p.border_mode,
+                                     max_scale_change=p.patch_max_scale_change)
+        sample_pos = 0.5 * (coords[:2] + coords[2:])
+        sample_scale = jnp.sqrt(jnp.prod((coords[2:] - coords[:2]) / img_sample_sz))
+
+        backbone_feat = self._backbone(patch[None])
+        test_x = self._clf_feat(backbone_feat)               # (1, Hf, Wf, C)
+
+        # ---- classify + localize (dimp.py:116-119, 238-303)
+        scores_raw = self._classify(state.target_filter, test_x)[0, :, :, 0]
+        if p.score_preprocess == "exp":
+            scores_raw = jnp.exp(scores_raw)
+        elif p.score_preprocess == "softmax":
+            from pytracking_tpu.ops.activation import softmax_reg
+            scores_raw = softmax_reg(scores_raw.reshape(-1), axis=-1,
+                                     reg=p.softmax_reg).reshape(scores_raw.shape)
+
+        translation_vec, flag, max_score = self._localize(state, scores_raw,
+                                                          sample_pos, sample_scale,
+                                                          output_sz, img_sample_sz)
+        new_pos = sample_pos + translation_vec
+
+        # ---- position update, clamped inside image (dimp.py:486-495)
+        found = flag != FLAG_NOT_FOUND
+
+        def clamp_pos(pos_new, sz):
+            inside_offset = (p.target_inside_ratio - 0.5) * sz
+            return jnp.maximum(jnp.minimum(pos_new, state.image_sz - inside_offset),
+                               inside_offset)
+
+        pos_after = jnp.where(found, clamp_pos(new_pos, state.target_sz), state.pos)
+        state = state.replace(pos=pos_after)
+
+        # ---- IoU-Net box refinement (dimp.py:650-751), masked by `found`
+        if p.use_iou_net:
+            update_scale = jnp.where(
+                p.update_scale_when_uncertain | (flag != FLAG_UNCERTAIN), True, False)
+            state = self._refine_target_box(state, backbone_feat, sample_pos,
+                                            sample_scale, img_sample_sz,
+                                            found, update_scale)
+
+        # ---- memory + classifier update (dimp.py:133-147, 605-648)
+        update_flag = (flag != FLAG_NOT_FOUND) & (flag != FLAG_UNCERTAIN)
+        hard_negative = flag == FLAG_HARD_NEG
+        if p.update_classifier:
+            target_box = _get_iounet_box(state.pos, state.target_sz, sample_pos,
+                                         sample_scale, img_sample_sz)
+            lr = jnp.where(hard_negative, p.hard_negative_learning_rate,
+                           p.learning_rate)
+            state = self._update_memory_masked(state, test_x[0], target_box, lr,
+                                               update_flag)
+            state = self._update_classifier(state, hard_negative, update_flag)
+
+        state = state.replace(flag=flag.astype(jnp.int32), max_score=max_score)
+
+        bbox = jnp.concatenate([state.pos[::-1] - (state.target_sz[::-1] - 1) / 2,
+                                state.target_sz[::-1]])
+        out = {"target_bbox": bbox, "max_score": max_score, "flag": flag,
+               "score_map": scores_raw}
+        return state, out
+
+    # ------------------------------------------------------------------ localization
+
+    def _localize(self, state: DiMPState, scores, sample_pos, sample_scale, output_sz,
+                  img_sample_sz):
+        """Advanced localization with distractor analysis (dimp.py:238-303), fully
+        on-device: returns (translation_vec (2,), flag (), max_score ())."""
+        p = self.params
+        sz = scores.shape[-2:]
+        score_center = (jnp.array(sz, jnp.float32) - 1) / 2
+        disp_to_img = (img_sample_sz / output_sz) * sample_scale
+
+        window = self._output_window()
+        scores_hn = scores
+        if window is not None:
+            if p.perform_hn_without_windowing:
+                scores = scores * window
+            else:
+                scores = scores * window
+                scores_hn = scores
+
+        max_score1, max_disp1 = dcf.max2d(scores)
+        max_disp1 = max_disp1.astype(jnp.float32)
+        target_disp1 = max_disp1 - score_center
+        translation_vec1 = target_disp1 * disp_to_img
+
+        if not p.advanced_localization:
+            return translation_vec1, jnp.asarray(FLAG_NORMAL), max_score1
+
+        # mask out the target neighbourhood and find the second peak
+        target_neigh_sz = p.target_neighborhood_scale * \
+            (state.target_sz / sample_scale) * (output_sz / img_sample_sz)
+        iy = jnp.arange(sz[0], dtype=jnp.float32)[:, None]
+        ix = jnp.arange(sz[1], dtype=jnp.float32)[None, :]
+        in_neigh = ((jnp.abs(iy - max_disp1[0]) <= target_neigh_sz[0] / 2 + 0.5) &
+                    (jnp.abs(ix - max_disp1[1]) <= target_neigh_sz[1] / 2 + 0.5))
+        scores_masked = jnp.where(in_neigh, 0.0, scores_hn)
+        max_score2, max_disp2 = dcf.max2d(scores_masked)
+        max_disp2 = max_disp2.astype(jnp.float32)
+        target_disp2 = max_disp2 - score_center
+        translation_vec2 = target_disp2 * disp_to_img
+
+        # previous target position in score-grid units relative to this sample's center
+        # (dimp.py:282)
+        prev_target_vec = (state.pos - sample_pos) / disp_to_img
+
+        disp_norm1 = jnp.sqrt(jnp.sum((target_disp1 - prev_target_vec) ** 2))
+        disp_norm2 = jnp.sqrt(jnp.sum((target_disp2 - prev_target_vec) ** 2))
+        disp_threshold = p.displacement_scale * math.sqrt(sz[0] * sz[1]) / 2
+
+        distractor = max_score2 > p.distractor_threshold * max_score1
+        hn1 = distractor & (disp_norm2 > disp_threshold) & (disp_norm1 < disp_threshold)
+        hn2 = distractor & (disp_norm2 < disp_threshold) & (disp_norm1 > disp_threshold)
+        uncertain_both = distractor & ~hn1 & ~hn2
+        hard_neg2 = (~distractor &
+                     (max_score2 > p.hard_negative_threshold * max_score1) &
+                     (max_score2 > p.target_not_found_threshold))
+
+        flag = jnp.asarray(FLAG_NORMAL)
+        trans = translation_vec1
+        flag = jnp.where(hard_neg2, FLAG_HARD_NEG, flag)
+        flag = jnp.where(uncertain_both, FLAG_UNCERTAIN, flag)
+        flag = jnp.where(hn2, FLAG_HARD_NEG, flag)
+        trans = jnp.where(hn2, translation_vec2, trans)
+        flag = jnp.where(hn1, FLAG_HARD_NEG, flag)
+        trans = jnp.where(hn1, translation_vec1, trans)
+        # score-threshold flags dominate (dimp.py:259-264)
+        flag = jnp.where(max_score1 < p.hard_sample_threshold, FLAG_HARD_NEG, flag)
+        flag = jnp.where(max_score1 < p.uncertain_threshold, FLAG_UNCERTAIN, flag)
+        flag = jnp.where(max_score1 < p.target_not_found_threshold, FLAG_NOT_FOUND, flag)
+        trans = jnp.where(max_score1 < p.target_not_found_threshold,
+                          translation_vec1, trans)
+        return trans, flag, max_score1
+
+    # ------------------------------------------------------------------ box refinement
+
+    def _refine_target_box(self, state: DiMPState, backbone_feat, sample_pos,
+                           sample_scale, img_sample_sz, found, update_scale):
+        """IoU-Net gradient ascent on jittered boxes (dimp.py:650-751)."""
+        p = self.params
+        init_box = _get_iounet_box(state.pos, state.target_sz, sample_pos,
+                                   sample_scale, img_sample_sz)
+        iou_feat = self._iou_feat(backbone_feat)
+
+        key, k1 = jax.random.split(state.key)
+        state = state.replace(key=key)
+        B = p.num_init_random_boxes
+        square_sz = jnp.sqrt(jnp.prod(init_box[2:]))
+        rand_factor = square_sz * jnp.array([p.box_jitter_pos, p.box_jitter_pos,
+                                             p.box_jitter_sz, p.box_jitter_sz])
+        minimal_edge = jnp.min(init_box[2:]) / 3
+        rand_bb = (jax.random.uniform(k1, (B, 4)) - 0.5) * rand_factor
+        new_sz = jnp.maximum(init_box[2:] + rand_bb[:, 2:], minimal_edge)
+        new_center = (init_box[:2] + init_box[2:] / 2) + rand_bb[:, :2]
+        jittered = jnp.concatenate([new_center - new_sz / 2, new_sz], axis=1)
+        init_boxes = jnp.concatenate([init_box[None], jittered])      # (B+1, 4)
+
+        modulation = (state.iou_mod3, state.iou_mod4)
+
+        def iou_fn(boxes):
+            return self._predict_iou(modulation, iou_feat, boxes[None])[0]
+
+        def ga_step(carry, _):
+            boxes, step = carry
+            iou, g = jax.vjp(iou_fn, boxes)
+            grad = g(jnp.ones_like(iou))[0]
+            boxes = boxes + step * grad * jnp.tile(boxes[:, 2:], (1, 2))
+            return (boxes, step * p.box_refinement_step_decay), None
+
+        (boxes, _), _ = jax.lax.scan(
+            ga_step, (init_boxes, jnp.asarray(p.box_refinement_step_length)),
+            None, length=p.box_refinement_iter)
+        iou = iou_fn(boxes)
+
+        # filter degenerate aspect ratios (dimp.py:679-684) by -inf masking
+        boxes = boxes.at[:, 2:].set(jnp.maximum(boxes[:, 2:], 1.0))
+        ar = boxes[:, 2] / boxes[:, 3]
+        valid = (ar < p.maximal_aspect_ratio) & (ar > 1 / p.maximal_aspect_ratio)
+        iou = jnp.where(valid, iou, -jnp.inf)
+
+        k = min(p.iounet_k, boxes.shape[0])
+        top_iou, top_idx = jax.lax.top_k(iou, k)
+        top_valid = jnp.isfinite(top_iou)
+        top_boxes = boxes[top_idx]
+        denom = jnp.maximum(top_valid.sum(), 1)
+        pred_box = jnp.where(top_valid[:, None], top_boxes, 0.0).sum(0) / denom
+        any_valid = valid.any()
+
+        new_pos = pred_box[:2] + pred_box[2:] / 2
+        new_pos = (new_pos[::-1] - (img_sample_sz - 1) / 2) * sample_scale + sample_pos
+        new_target_sz = pred_box[2:][::-1] * sample_scale
+        new_scale = jnp.sqrt(jnp.prod(new_target_sz) /
+                             jnp.prod(state.base_target_sz))
+
+        apply = found & any_valid
+        pos = jnp.where(apply & p.use_iounet_pos_for_learning, new_pos, state.pos)
+        tsz = jnp.where(apply, new_target_sz, state.target_sz)
+        tscale = jnp.where(apply & update_scale,
+                           jnp.clip(new_scale, state.min_scale, state.max_scale),
+                           state.target_scale)
+        return state.replace(pos=pos, target_sz=tsz, target_scale=tscale)
+
+    # ------------------------------------------------------------------ memory
+
+    def _update_memory_masked(self, state: DiMPState, sample, target_box, lr,
+                              do_update):
+        """Weighted-replacement ring buffer update (dimp.py:430-484), masked."""
+        p = self.params
+        sw = state.mem_weights
+        M = p.sample_memory_size
+        num_init = state.num_init
+        num_stored = state.num_stored
+
+        init_w = p.init_samples_minimum_weight
+        s_ind = jnp.where(init_w > 0, num_init, 0)
+
+        # replacement index
+        idx = jnp.arange(M)
+        masked_sw = jnp.where(idx >= s_ind, sw, jnp.inf)
+        r_ind_full = jnp.argmin(masked_sw).astype(jnp.int32)
+        r_ind = jnp.where(num_stored < M, num_stored, r_ind_full).astype(jnp.int32)
+
+        # weight update
+        prev = state.prev_ind
+        sw_new = jnp.where(prev < 0, sw / (1 - lr), sw)
+        new_w = jnp.where(prev < 0, lr, sw[jnp.maximum(prev, 0)] / (1 - lr))
+        sw_new = sw_new.at[r_ind].set(new_w)
+        sw_new = sw_new / sw_new.sum()
+        if init_w and init_w > 0:
+            init_mask = idx < num_init
+            init_sum = jnp.where(init_mask, sw_new, 0.0).sum()
+            rest_sum = jnp.where(~init_mask, sw_new, 0.0).sum()
+            need = init_sum < init_w
+            scale = 1.0 / (init_w + rest_sum)
+            sw_adj = jnp.where(init_mask, init_w / jnp.maximum(num_init, 1),
+                               sw_new * scale)
+            sw_new = jnp.where(need, sw_adj, sw_new)
+
+        mem_samples = state.mem_samples.at[r_ind].set(sample)
+        mem_boxes = state.mem_boxes.at[r_ind].set(target_box)
+
+        return state.replace(
+            mem_samples=jnp.where(do_update, mem_samples, state.mem_samples),
+            mem_boxes=jnp.where(do_update, mem_boxes, state.mem_boxes),
+            mem_weights=jnp.where(do_update, sw_new, state.mem_weights),
+            num_stored=jnp.where(do_update,
+                                 jnp.minimum(num_stored + 1, M), num_stored),
+            prev_ind=jnp.where(do_update, r_ind, state.prev_ind))
+
+    def _update_classifier(self, state: DiMPState, hard_negative, update_flag):
+        """Run the filter optimizer over the memory with a flag-dependent iteration
+        count via lax.switch (dimp.py:615-639)."""
+        p = self.params
+        skip_update = ((state.frame_num - 1) % p.train_skipping) == 0
+
+        branch_idx = jnp.where(update_flag & hard_negative, 1,
+                               jnp.where(update_flag & skip_update, 2, 0))
+
+        feat = state.mem_samples[:, None]       # (M, 1, Hf, Wf, C)
+        bb = state.mem_boxes[:, None]
+        sw = state.mem_weights[:, None]
+
+        def no_update(w):
+            return w
+
+        def hn_update(w):
+            return self._run_optimizer(w, feat, bb, sw, p.net_opt_hn_iter)[0]
+
+        def periodic_update(w):
+            return self._run_optimizer(w, feat, bb, sw, p.net_opt_update_iter)[0]
+
+        new_filter = jax.lax.switch(branch_idx, [no_update, hn_update, periodic_update],
+                                    state.target_filter)
+        return state.replace(target_filter=new_filter)
+
+
+def get_tracker_class():
+    return DiMPTracker

@@ -1,0 +1,74 @@
+"""Network variable initialization / checkpoint loading.
+
+Re-design of reference `ltr/admin/loading.py` (load_network:35): checkpoints carry their
+own constructor config so a net can be rebuilt without the recipe. Here a checkpoint is
+a msgpack-serialized flax variable tree plus a JSON config sidecar; `load_network`
+rebuilds via the named constructor in `pytracking_tpu.models.tracking`.
+"""
+
+from __future__ import annotations
+
+import importlib
+import json
+import os
+from typing import Any, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import serialization
+
+
+def save_network(path: str, variables, constructor_module: str, constructor_name: str,
+                 constructor_kwargs: dict):
+    """Atomic save of variables + self-describing constructor config
+    (reference base_trainer.py:95-125 keeps the pickled constructor; we keep JSON)."""
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    blob = serialization.to_bytes(variables)
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as f:
+        f.write(blob)
+    os.replace(tmp, path)
+    meta = {"constructor_module": constructor_module,
+            "constructor_name": constructor_name,
+            "constructor_kwargs": constructor_kwargs}
+    with open(path + ".json", "w") as f:
+        json.dump(meta, f, indent=2)
+
+
+def load_network(path: str, **kwarg_overrides) -> Tuple[Any, Any]:
+    """Rebuild the net from the checkpoint's stored constructor and load variables
+    (reference admin/loading.py:35-117)."""
+    with open(path + ".json") as f:
+        meta = json.load(f)
+    kwargs = dict(meta["constructor_kwargs"])
+    kwargs.update(kwarg_overrides)
+    mod = importlib.import_module(meta["constructor_module"])
+    net = getattr(mod, meta["constructor_name"])(**kwargs)
+    with open(path, "rb") as f:
+        blob = f.read()
+    # build a target template lazily: caller must init if structure unknown; we use
+    # from_bytes against None-template via msgpack restore
+    variables = serialization.msgpack_restore(blob)
+    return net, variables
+
+
+def init_variables(net, example_inputs, seed: int = 0):
+    """Initialize flax variables with a representative forward."""
+    return net.init(jax.random.PRNGKey(seed), *example_inputs, train=False)
+
+
+def load_or_init_variables(net, example_inputs, cache_path: Optional[str] = None,
+                           seed: int = 0):
+    """Load variables from cache_path if present, else init (and cache)."""
+    if cache_path and os.path.isfile(cache_path):
+        with open(cache_path, "rb") as f:
+            return serialization.msgpack_restore(f.read())
+    variables = init_variables(net, example_inputs, seed)
+    if cache_path:
+        os.makedirs(os.path.dirname(cache_path) or ".", exist_ok=True)
+        tmp = cache_path + ".tmp"
+        with open(tmp, "wb") as f:
+            f.write(serialization.to_bytes(variables))
+        os.replace(tmp, cache_path)
+    return variables
