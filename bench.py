@@ -45,11 +45,18 @@ def main():
     for t in range(1, 4):
         tracker.track(frames[t])
 
+    # steady state, pipelined: dispatch frame t, then fetch frame t-1's output —
+    # JAX async dispatch overlaps the device round-trip with the next upload
     t0 = time.time()
     n = 0
+    prev = None
     for t in range(4, len(frames)):
-        out = tracker.track(frames[t])
+        h = tracker.track_async(frames[t])
+        if prev is not None:
+            tracker.fetch_output(prev)
+        prev = h
         n += 1
+    tracker.fetch_output(prev)
     elapsed = time.time() - t0
     fps = n / elapsed
 

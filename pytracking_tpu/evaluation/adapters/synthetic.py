@@ -81,3 +81,42 @@ def load_synthetic_frame(uri: str) -> np.ndarray:
     parts = uri.split("://", 1)[1].split("/")
     s, t, H, W = int(parts[0]), int(parts[1]), int(parts[2]), int(parts[3])
     return render_synthetic_frame(s, t, H, W)
+
+
+class SyntheticVOSDataset(BaseDataset):
+    """Synthetic multi-object VOS sequences: procedurally generated frames with
+    per-pixel ground-truth masks — drives the LWL/RTS pipeline with no data on disk."""
+
+    def __init__(self, num_sequences: int = 2, num_frames: int = 10,
+                 H: int = 240, W: int = 320):
+        super().__init__()
+        self.num_sequences = num_sequences
+        self.num_frames = num_frames
+        self.H, self.W = H, W
+
+    def _mask(self, seq_seed: int, t: int) -> np.ndarray:
+        cy, cx, sz = synthetic_gt_center(seq_seed, t, self.H, self.W)
+        m = np.zeros((self.H, self.W), np.uint8)
+        y0, y1 = int(max(cy - sz / 2, 0)), int(min(cy + sz / 2, self.H))
+        x0, x1 = int(max(cx - sz / 2, 0)), int(min(cx + sz / 2, self.W))
+        m[y0:y1, x0:x1] = 1
+        return m
+
+    def get_sequence_list(self) -> SequenceList:
+        seqs = []
+        for s in range(self.num_sequences):
+            frames = [f"synthetic://{s}/{t}/{self.H}/{self.W}"
+                      for t in range(self.num_frames)]
+            gt = []
+            masks = []
+            for t in range(self.num_frames):
+                cy, cx, sz = synthetic_gt_center(s, t, self.H, self.W)
+                gt.append([cx - sz / 2, cy - sz / 2, sz, sz])
+                masks.append(self._mask(s, t))
+            init_data = {0: {"object_ids": ["1"], "mask": masks[0],
+                             "bbox": gt[0]}}
+            seqs.append(Sequence(f"synthetic_vos_{s:03d}", frames, "synthetic_vos",
+                                 np.asarray(gt, np.float32),
+                                 ground_truth_seg=masks, init_data=init_data,
+                                 object_ids=["1"], multiobj_mode=True))
+        return SequenceList(seqs)

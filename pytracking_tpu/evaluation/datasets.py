@@ -20,6 +20,8 @@ dataset_dict = dict(
                           kwargs={}),
     synthetic_long=DatasetInfo(module=_BASE % "synthetic", class_name="SyntheticDataset",
                                kwargs={"num_sequences": 5, "num_frames": 120}),
+    synthetic_vos=DatasetInfo(module=_BASE % "synthetic",
+                              class_name="SyntheticVOSDataset", kwargs={}),
     otb=DatasetInfo(module=_BASE % "otb", class_name="OTBDataset", kwargs={}),
     nfs=DatasetInfo(module=_BASE % "nfs", class_name="NFSDataset", kwargs={}),
     uav=DatasetInfo(module=_BASE % "uav", class_name="UAVDataset", kwargs={}),

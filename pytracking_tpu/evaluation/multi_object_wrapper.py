@@ -1,0 +1,120 @@
+"""Multi-object tracking wrapper: run one single-object tracker per target.
+
+Re-design of reference `pytracking/evaluation/multi_object_wrapper.py`
+(MultiObjectWrapper:7): objects can be initialized at any frame; outputs are merged
+per-frame into {obj_id: value} dicts, with soft-mask argmax merging for segmentation
+trackers (default_merge:64) or a tracker-provided `merge_results` hook.
+
+TPU note: each object's tracker holds its own jitted state; all instances share the
+same compiled functions (same static config), so N objects cost N executions of the
+same XLA program. A vmapped object axis is the next optimization step for the natively
+multi-object trackers (TaMOs handles that case inside the model itself).
+"""
+
+from __future__ import annotations
+
+import copy
+from collections import OrderedDict
+from typing import Any, Dict, Optional
+
+import numpy as np
+
+
+class MultiObjectWrapper:
+    multiobj_mode = "parallel"
+
+    def __init__(self, base_tracker_class, params, net=None, variables=None,
+                 fast_load: bool = False):
+        self.base_tracker_class = base_tracker_class
+        self.params = params
+        self.net = net
+        self.variables = variables
+        self.trackers: "OrderedDict[Any, Any]" = OrderedDict()
+        self._frame_num = 0
+
+    def _create(self):
+        return self.base_tracker_class(self.params, self.net, self.variables)
+
+    def _split_info(self, info: dict) -> Dict[Any, dict]:
+        """Per-object init info (reference multi_object_wrapper.py:37-61)."""
+        info_split = {}
+        for obj_id in info.get("object_ids", []):
+            d = {"object_ids": [obj_id]}
+            for k in ("init_bbox", "init_mask"):
+                v = info.get(k)
+                if v is None:
+                    continue
+                if isinstance(v, dict):
+                    if obj_id in v:
+                        d[k] = v[obj_id]
+                elif k == "init_mask":
+                    d[k] = (np.asarray(v) == int(obj_id)).astype(np.uint8)
+                else:
+                    d[k] = v
+            info_split[obj_id] = d
+        return info_split
+
+    def initialize(self, image, info: dict) -> dict:
+        self._frame_num = 1
+        self.trackers = OrderedDict()
+        object_ids = info.get("object_ids") or ["1"]
+        info = dict(info)
+        info.setdefault("object_ids", object_ids)
+        per_obj = self._split_info(info)
+        init_outs = {}
+        for obj_id in object_ids:
+            t = self._create()
+            out = t.initialize(image, per_obj[obj_id]) or {}
+            self.trackers[obj_id] = t
+            init_outs[obj_id] = out
+        if any(init_outs.values()):
+            return self._merge(init_outs, image.shape[:2])
+        return {}
+
+    def track(self, image, info: Optional[dict] = None) -> dict:
+        self._frame_num += 1
+        info = info or {}
+
+        # late-initialized objects (reference multi_object_wrapper.py:137-158)
+        new_ids = [oid for oid in info.get("object_ids", [])
+                   if oid not in self.trackers]
+        if new_ids:
+            per_obj = self._split_info({**info, "object_ids": new_ids})
+            for oid in new_ids:
+                t = self._create()
+                t.initialize(image, per_obj[oid])
+                self.trackers[oid] = t
+
+        obj_info = {k: v for k, v in info.items() if k != "object_ids"}
+        outputs = {oid: t.track(image, obj_info)
+                   for oid, t in self.trackers.items()}
+        return self._merge(outputs, image.shape[:2])
+
+    def _merge(self, outputs: Dict[Any, dict], im_shape) -> dict:
+        """Merge per-object outputs: tracker-custom `merge_results` hook if present
+        (reference multi_object_wrapper.py:96-101), else the default soft-mask argmax
+        merge (:64-92)."""
+        first = next(iter(self.trackers.values()), None)
+        if first is not None and hasattr(first, "merge_results"):
+            return first.merge_results(outputs)
+        merged: dict = {"target_bbox": {}, "object_presence_score": {}}
+        seg_scores = {}
+        for oid, out in outputs.items():
+            merged["target_bbox"][oid] = out["target_bbox"]
+            if "object_presence_score" in out:
+                merged["object_presence_score"][oid] = out["object_presence_score"]
+            if "segmentation_soft" in out:
+                seg_scores[oid] = np.asarray(out["segmentation_soft"])
+        if not merged["object_presence_score"]:
+            merged.pop("object_presence_score")
+        if seg_scores:
+            ids = list(seg_scores)
+            stack = np.stack([seg_scores[i] for i in ids])      # (N, H, W)
+            bg = 1.0 - stack.max(axis=0, keepdims=True)
+            all_scores = np.concatenate([bg, stack])
+            label = all_scores.argmax(0)
+            merged_seg = np.zeros(label.shape, np.uint8)
+            for k, oid in enumerate(ids, start=1):
+                merged_seg[label == k] = int(oid)
+            merged["segmentation"] = merged_seg
+        return merged

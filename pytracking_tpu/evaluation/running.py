@@ -110,18 +110,25 @@ def run_sequence(seq: Sequence, tracker, debug: int = 0,
     def track_frames():
         image = _read_image(seq.frames[0])
         start = time.time()
-        t = tracker.create_tracker()
+        try:
+            t = tracker.create_tracker(multiobj=seq.multiobj_mode)
+        except TypeError:
+            t = tracker.create_tracker()
         info = seq.init_info()
-        out = t.initialize(image, info) or {}
+        prev_output = t.initialize(image, info) or {}
         init_time = time.time() - start
         output["target_bbox"].append(info.get("init_bbox"))
         output["time"].append(init_time)
+        if "segmentation" in prev_output:
+            output["segmentation"].append(prev_output["segmentation"])
 
         for frame_num, frame_path in enumerate(seq.frames[1:], start=1):
             image = _read_image(frame_path)
             start = time.time()
             info = seq.frame_info(frame_num)
+            info["previous_output"] = prev_output
             out = t.track(image, info)
+            prev_output = out
             output["time"].append(time.time() - start)
             output["target_bbox"].append(out["target_bbox"])
             if "object_presence_score" in out:

@@ -59,9 +59,15 @@ class Tracker:
             self._spec = param_module.parameters()
         return self._spec
 
-    def create_tracker(self):
+    def create_tracker(self, multiobj: bool = False):
         spec = self.get_parameters()
         kwargs = spec.tracker_kwargs or {}
+        if multiobj and getattr(self.tracker_class, "multiobj_mode", "parallel") \
+                == "parallel":
+            from pytracking_tpu.evaluation.multi_object_wrapper import \
+                MultiObjectWrapper
+            return MultiObjectWrapper(self.tracker_class, spec.params, spec.net,
+                                      spec.variables)
         return self.tracker_class(spec.params, spec.net, spec.variables, **kwargs)
 
     # ------------------------------------------------------------------ video/webcam

@@ -1,0 +1,80 @@
+"""KYS network: DiMP appearance model + scene-propagation motion module.
+
+Re-design of reference `ltr/models/tracking/kysnet.py` (KYSNet:17, kysnet_res50:114):
+backbone + DiMP classifier + IoU-Net (shared with dimpnet) plus the
+CostVolume/ResponsePredictor motion branch. The motion features are the classifier
+features (reference predictor_wrapper.extract_motion_feat passes the classification
+layer through).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Optional, Tuple
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from pytracking_tpu.models.backbones import resnet as backbones
+from pytracking_tpu.models.bbreg.iou_net import AtomIoUNet
+from pytracking_tpu.models.classifier.features import ResidualBottleneck
+from pytracking_tpu.models.classifier.initializer import FilterInitializerLinear
+from pytracking_tpu.models.classifier.linear_filter import LinearFilter
+from pytracking_tpu.models.classifier.optimizer import DiMPSteepestDescentGN
+from pytracking_tpu.models.kys.cost_volume import cost_volume_abs
+from pytracking_tpu.models.kys.response_predictor import ResponsePredictor
+from pytracking_tpu.models.tracking.dimpnet import DiMPnet
+
+
+class KYSNet(DiMPnet):
+    """Extends DiMPnet with the motion/propagation branch."""
+    predictor: Optional[ResponsePredictor] = None
+    max_displacement: int = 9
+
+    def get_motion_feat(self, backbone_feat):
+        """Motion features = classification features (reference kysnet.py:90-95 with
+        motion_feat_extractor=None)."""
+        return self.extract_classification_feat(backbone_feat)
+
+    def predict_response(self, motion_feat_prev, motion_feat_cur, state_prev,
+                         dimp_score_cur, init_label=None, dimp_thresh=None,
+                         output_window=None):
+        """(reference predictor_wrapper.predict_response :92-152). All inputs
+        (B, H, W, C)-shaped; returns (fused (B,H,W,1), state (B,H,W,D), aux)."""
+        cv = cost_volume_abs(motion_feat_cur, motion_feat_prev, self.max_displacement)
+        return self.predictor(cv, state_prev, dimp_score_cur, init_label=init_label,
+                              dimp_thresh=dimp_thresh, output_window=output_window)
+
+
+def kysnet_res50(filter_size: int = 4, optim_iter: int = 5,
+                 optim_init_step: float = 0.9, optim_init_reg: float = 0.1,
+                 out_feature_dim: int = 512, init_gauss_sigma: float = 0.9,
+                 num_dist_bins: int = 100, bin_displacement: float = 0.1,
+                 mask_init_factor: float = 3.0, state_dim: int = 8,
+                 representation_predictor_dims=(64, 32),
+                 conf_measure: str = "entropy", dimp_thresh: float = 0.05,
+                 max_displacement: int = 9) -> KYSNet:
+    """(reference kysnet.py:114-210)"""
+    backbone = backbones.resnet50(output_layers=("layer2", "layer3"))
+    norm_scale = math.sqrt(1.0 / (out_feature_dim * filter_size * filter_size))
+    clf_fe = ResidualBottleneck(feature_dim=256, num_blocks=0, l2norm=True,
+                                final_conv=True, norm_scale=norm_scale,
+                                out_dim=out_feature_dim)
+    initializer = FilterInitializerLinear(filter_size=filter_size,
+                                          feature_dim=out_feature_dim)
+    optimizer = DiMPSteepestDescentGN(
+        num_iter=optim_iter, feat_stride=16, init_step_length=optim_init_step,
+        init_filter_reg=optim_init_reg, init_gauss_sigma=init_gauss_sigma,
+        num_dist_bins=num_dist_bins, bin_displacement=bin_displacement,
+        mask_init_factor=mask_init_factor)
+    classifier = LinearFilter(filter_size=filter_size, filter_initializer=initializer,
+                              filter_optimizer=optimizer, feature_extractor=clf_fe)
+    bb_regressor = AtomIoUNet(input_dim=(512, 1024))
+    predictor = ResponsePredictor(state_dim=state_dim,
+                                  representation_predictor_dims=tuple(
+                                      representation_predictor_dims),
+                                  conf_measure=conf_measure, dimp_thresh=dimp_thresh)
+    return KYSNet(feature_extractor=backbone, classifier=classifier,
+                  bb_regressor=bb_regressor, classification_layer="layer3",
+                  bb_regressor_layer=("layer2", "layer3"), predictor=predictor,
+                  max_displacement=max_displacement)

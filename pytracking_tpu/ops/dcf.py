@@ -33,11 +33,20 @@ def hann2d(sz: Tuple[int, int]) -> jnp.ndarray:
 
 
 def hann2d_clipped(sz: Tuple[int, int], effective_sz: Tuple[int, int]) -> jnp.ndarray:
-    """2D Hann window of `effective_sz` centered and clipped/padded to `sz` with
-    edge-replication — used so the window is flat outside the effective region
-    (reference dcf.py:21-38)."""
+    """2D Hann window of `effective_sz` centered then padded (edge-replicate) or
+    center-cropped to `sz` — flat outside the effective region when effective < sz, a
+    flatter central section when effective > sz (the reference's negative F.pad crops,
+    dcf.py:21-38)."""
     eh, ew = effective_sz
     win = hann1d(eh)[:, None] * hann1d(ew)[None, :]
+    if eh > sz[0]:
+        t = (eh - sz[0]) // 2
+        win = win[t:t + sz[0], :]
+        eh = sz[0]
+    if ew > sz[1]:
+        l = (ew - sz[1]) // 2
+        win = win[:, l:l + sz[1]]
+        ew = sz[1]
     pad_t = (sz[0] - eh) // 2
     pad_b = sz[0] - eh - pad_t
     pad_l = (sz[1] - ew) // 2

@@ -1,0 +1,30 @@
+"""ToMP-50 tracker parameters (reference pytracking/parameter/tomp/tomp50.py)."""
+
+import os
+
+import jax.numpy as jnp
+
+from pytracking_tpu.evaluation.environment import env_settings
+from pytracking_tpu.evaluation.tracker import TrackerSpec
+from pytracking_tpu.models.tracking.tompnet import tompnet50
+from pytracking_tpu.trackers.tomp import ToMPParams
+from pytracking_tpu.utils.loading import load_network, load_or_init_variables
+
+
+def parameters() -> TrackerSpec:
+    params = ToMPParams()
+
+    env = env_settings()
+    ckpt = os.path.join(env.network_path, "tomp50.msgpack")
+    net = tompnet50(feature_sz=params.train_feature_size)
+    if os.path.isfile(ckpt + ".json"):
+        net, variables = load_network(ckpt)
+    else:
+        s = params.image_sample_size
+        f = params.train_feature_size
+        example = (jnp.zeros((1, 1, s, s, 3)), jnp.zeros((1, 1, s, s, 3)),
+                   jnp.zeros((1, 1, f, f)), jnp.zeros((1, 1, f, f, 4)))
+        variables = load_or_init_variables(
+            net, example, cache_path=os.path.join(env.network_path,
+                                                  "tomp50_init.msgpack"))
+    return TrackerSpec(params=params, net=net, variables=variables)

@@ -235,7 +235,7 @@ class ATOMTracker(BaseTracker):
     # ---------------------------------------------------------------- initialize
 
     def initialize(self, image, info: Dict[str, Any]) -> dict:
-        im = jnp.asarray(np.ascontiguousarray(image), jnp.float32)
+        im = jnp.asarray(image)
         bbox = np.asarray(info["init_bbox"], np.float32)
         target_sz = np.array([bbox[3], bbox[2]])
         sample_sz, target_scale = self._compute_sample_sz(target_sz)
@@ -254,6 +254,7 @@ class ATOMTracker(BaseTracker):
     def _initialize_impl(self, im, bbox, target_scale, key, *, sample_sz: int
                          ) -> ATOMState:
         p = self.params
+        im = im.astype(jnp.float32)
         pos = jnp.array([bbox[1] + (bbox[3] - 1) / 2, bbox[0] + (bbox[2] - 1) / 2])
         target_sz = jnp.array([bbox[3], bbox[2]])
         image_sz = jnp.array(im.shape[:2], jnp.float32)
@@ -383,20 +384,27 @@ class ATOMTracker(BaseTracker):
 
     # ---------------------------------------------------------------- track
 
-    def track(self, image, info: Optional[dict] = None) -> dict:
-        im = jnp.asarray(np.ascontiguousarray(image), jnp.float32)
+    def track_async(self, image, info: Optional[dict] = None):
+        im = jnp.asarray(image)
         fn = self._jit_cache.get(("track", im.shape, self._sample_sz))
         if fn is None:
             fn = jax.jit(functools.partial(self._track_impl,
                                            sample_sz=self._sample_sz))
             self._jit_cache[("track", im.shape, self._sample_sz)] = fn
         self.state, out = fn(self.state, im)
+        return out
+
+    def fetch_output(self, out) -> dict:
         return {"target_bbox": np.asarray(out["target_bbox"]).tolist(),
                 "max_score": float(out["max_score"]),
                 "flag": FLAG_NAMES[int(out["flag"])]}
 
+    def track(self, image, info: Optional[dict] = None) -> dict:
+        return self.fetch_output(self.track_async(image, info))
+
     def _track_impl(self, state: ATOMState, im, *, sample_sz: int):
         p = self.params
+        im = im.astype(jnp.float32)
         support = jnp.full(2, float(sample_sz))
         feat_sz = sample_sz // p.feature_stride
         out_sz = p.score_upsample_factor * sample_sz

@@ -30,3 +30,15 @@ class BaseTracker:
 
     def track(self, image, info: Optional[dict] = None) -> dict:
         raise NotImplementedError
+
+    # ---- async pipelining API -------------------------------------------------
+    # JAX dispatch is asynchronous: `track_async` uploads the frame and enqueues the
+    # jitted step, returning un-materialized device outputs; `fetch_output` blocks and
+    # converts. A harness that fetches frame t-1's output after dispatching frame t
+    # hides the device/tunnel round-trip behind compute (SURVEY.md §7.3 item 4).
+
+    def track_async(self, image, info: Optional[dict] = None):
+        return self.track(image, info)
+
+    def fetch_output(self, handle) -> dict:
+        return handle

@@ -101,6 +101,7 @@ class DiMPParams:
     box_refinement_iter: int = 5
     box_refinement_step_length: float = 1.0
     box_refinement_step_decay: float = 1.0
+    box_refinement_space: str = "default"   # 'default' | 'relative' (PrDiMP)
     use_iounet_pos_for_learning: bool = True
 
     def aug_dict(self) -> dict:
@@ -215,7 +216,7 @@ class DiMPTracker(BaseTracker):
 
     def initialize(self, image, info: Dict[str, Any]) -> dict:
         """Host entry: image (H, W, 3) uint8/float RGB, info['init_bbox'] = [x,y,w,h]."""
-        im = jnp.asarray(np.ascontiguousarray(image), jnp.float32)
+        im = jnp.asarray(image)
         bbox = jnp.asarray(info["init_bbox"], jnp.float32)
         key = jax.random.PRNGKey(self._seed)
         # static host-side randomness for augmentation shifts (once per sequence)
@@ -225,6 +226,7 @@ class DiMPTracker(BaseTracker):
 
     def _initialize_impl(self, im, bbox, key) -> DiMPState:
         p = self.params
+        im = im.astype(jnp.float32)
         pos = jnp.array([bbox[1] + (bbox[3] - 1) / 2, bbox[0] + (bbox[2] - 1) / 2])
         target_sz = jnp.array([bbox[3], bbox[2]])
         image_sz = jnp.array(im.shape[:2], jnp.float32)
@@ -304,16 +306,25 @@ class DiMPTracker(BaseTracker):
 
     # ------------------------------------------------------------------ track
 
-    def track(self, image, info: Optional[dict] = None) -> dict:
-        im = jnp.asarray(np.ascontiguousarray(image), jnp.float32)
+    def track_async(self, image, info: Optional[dict] = None):
+        """Upload the frame (uint8 — 3x less tunnel traffic than float32) and enqueue
+        the jitted step; returns un-materialized device outputs."""
+        im = jnp.asarray(image)
         self.state, out = self._jit_track(self.state, im)
+        return out
+
+    def fetch_output(self, out) -> dict:
         bbox = np.asarray(out["target_bbox"]).tolist()
         return {"target_bbox": bbox,
                 "max_score": float(out["max_score"]),
                 "flag": FLAG_NAMES[int(out["flag"])]}
 
+    def track(self, image, info: Optional[dict] = None) -> dict:
+        return self.fetch_output(self.track_async(image, info))
+
     def _track_impl(self, state: DiMPState, im) -> Tuple[DiMPState, dict]:
         p = self.params
+        im = im.astype(jnp.float32)
         img_sample_sz = jnp.array(self._img_sample_sz, jnp.float32)
         feat_sz = float(self._feature_sz)
         score_sz = float(self._score_sz)
@@ -383,17 +394,18 @@ class DiMPTracker(BaseTracker):
 
         bbox = jnp.concatenate([state.pos[::-1] - (state.target_sz[::-1] - 1) / 2,
                                 state.target_sz[::-1]])
-        out = {"target_bbox": bbox, "max_score": max_score, "flag": flag,
-               "score_map": scores_raw}
+        out = {"target_bbox": bbox, "max_score": max_score, "flag": flag}
         return state, out
 
     # ------------------------------------------------------------------ localization
 
     def _localize(self, state: DiMPState, scores, sample_pos, sample_scale, output_sz,
-                  img_sample_sz):
+                  img_sample_sz, not_found_threshold: Optional[float] = None):
         """Advanced localization with distractor analysis (dimp.py:238-303), fully
         on-device: returns (translation_vec (2,), flag (), max_score ())."""
         p = self.params
+        nf_thresh = p.target_not_found_threshold if not_found_threshold is None \
+            else not_found_threshold
         sz = scores.shape[-2:]
         score_center = (jnp.array(sz, jnp.float32) - 1) / 2
         disp_to_img = (img_sample_sz / output_sz) * sample_scale
@@ -442,7 +454,7 @@ class DiMPTracker(BaseTracker):
         uncertain_both = distractor & ~hn1 & ~hn2
         hard_neg2 = (~distractor &
                      (max_score2 > p.hard_negative_threshold * max_score1) &
-                     (max_score2 > p.target_not_found_threshold))
+                     (max_score2 > nf_thresh))
 
         flag = jnp.asarray(FLAG_NORMAL)
         trans = translation_vec1
@@ -455,9 +467,8 @@ class DiMPTracker(BaseTracker):
         # score-threshold flags dominate (dimp.py:259-264)
         flag = jnp.where(max_score1 < p.hard_sample_threshold, FLAG_HARD_NEG, flag)
         flag = jnp.where(max_score1 < p.uncertain_threshold, FLAG_UNCERTAIN, flag)
-        flag = jnp.where(max_score1 < p.target_not_found_threshold, FLAG_NOT_FOUND, flag)
-        trans = jnp.where(max_score1 < p.target_not_found_threshold,
-                          translation_vec1, trans)
+        flag = jnp.where(max_score1 < nf_thresh, FLAG_NOT_FOUND, flag)
+        trans = jnp.where(max_score1 < nf_thresh, translation_vec1, trans)
         return trans, flag, max_score1
 
     # ------------------------------------------------------------------ box refinement
@@ -488,16 +499,38 @@ class DiMPTracker(BaseTracker):
         def iou_fn(boxes):
             return self._predict_iou(modulation, iou_feat, boxes[None])[0]
 
-        def ga_step(carry, _):
-            boxes, step = carry
-            iou, g = jax.vjp(iou_fn, boxes)
-            grad = g(jnp.ones_like(iou))[0]
-            boxes = boxes + step * grad * jnp.tile(boxes[:, 2:], (1, 2))
-            return (boxes, step * p.box_refinement_step_decay), None
+        if p.box_refinement_space == "relative":
+            # gradient ascent in the (cx/σ, cy/σ, log w, log h) space
+            # (reference dimp.py:753-788 optimize_boxes_relative)
+            from pytracking_tpu.ops.bbox import rect_to_rel, rel_to_rect
+            sz_norm = init_boxes[0:1, 2:]
 
-        (boxes, _), _ = jax.lax.scan(
-            ga_step, (init_boxes, jnp.asarray(p.box_refinement_step_length)),
-            None, length=p.box_refinement_iter)
+            def iou_rel(boxes_rel):
+                return iou_fn(rel_to_rect(boxes_rel, sz_norm))
+
+            def ga_step(carry, _):
+                boxes_rel, step = carry
+                iou, g = jax.vjp(iou_rel, boxes_rel)
+                grad = g(jnp.ones_like(iou))[0]
+                boxes_rel = boxes_rel + step * grad
+                return (boxes_rel, step * p.box_refinement_step_decay), None
+
+            (boxes_rel, _), _ = jax.lax.scan(
+                ga_step, (rect_to_rel(init_boxes, sz_norm),
+                          jnp.asarray(p.box_refinement_step_length)),
+                None, length=p.box_refinement_iter)
+            boxes = rel_to_rect(boxes_rel, sz_norm)
+        else:
+            def ga_step(carry, _):
+                boxes, step = carry
+                iou, g = jax.vjp(iou_fn, boxes)
+                grad = g(jnp.ones_like(iou))[0]
+                boxes = boxes + step * grad * jnp.tile(boxes[:, 2:], (1, 2))
+                return (boxes, step * p.box_refinement_step_decay), None
+
+            (boxes, _), _ = jax.lax.scan(
+                ga_step, (init_boxes, jnp.asarray(p.box_refinement_step_length)),
+                None, length=p.box_refinement_iter)
         iou = iou_fn(boxes)
 
         # filter degenerate aspect ratios (dimp.py:679-684) by -inf masking

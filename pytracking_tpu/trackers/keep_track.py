@@ -1,0 +1,412 @@
+"""KeepTrack tracker — SuperDiMP base + learned candidate association across frames.
+
+Re-design of reference `pytracking/tracker/keep_track/keep_track.py` (KeepTrack:37,
+localize_target_by_candidate_matching:256, extract_descriptors_and_keypoints:437) and
+`candidates.py` (CandidateCollection:12).
+
+TPU-first split (per SURVEY.md §7.2: "the candidate bookkeeping is host-side Python,
+keep it so"):
+  * Device step 1 (jitted): DiMP classification, top-K local-maxima candidate
+    extraction (max-pool NMS + lax.top_k over fixed K slots with validity mask),
+    descriptor extraction through the candidate-matching backbone, and the SuperGlue/
+    Sinkhorn match against the previous frame's candidate slots.
+  * Host: the `CandidateCollection` object-id bookkeeping — a dict over ≤K scalars,
+    exactly the reference's association rules.
+  * Device step 2 (jitted): state update for the selected candidate — position update,
+    relative-space IoU-Net box refinement, certainty-weighted memory update and
+    flag-gated classifier refresh.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import struct
+from jax import lax
+
+from pytracking_tpu.ops import dcf
+from pytracking_tpu.ops.patch import sample_patch
+from pytracking_tpu.trackers.dimp import (DiMPParams, DiMPState, DiMPTracker,
+                                          FLAG_HARD_NEG, FLAG_NAMES, FLAG_NORMAL,
+                                          FLAG_NOT_FOUND, FLAG_UNCERTAIN,
+                                          _get_iounet_box)
+
+
+@dataclass(frozen=True)
+class KeepTrackParams(DiMPParams):
+    """(reference pytracking/parameter/keep_track/default.py)"""
+    image_sample_size: int = 30 * 16
+    search_area_scale: float = 8.0
+    border_mode: str = "inside_major"
+    patch_max_scale_change: Optional[float] = 1.5
+    box_refinement_space: str = "relative"
+    box_refinement_iter: int = 10
+    box_refinement_step_length: float = 2.5e-3
+    local_max_candidate_score_th: float = 0.05
+    max_candidates: int = 10
+    use_certainty_for_weight_computation: bool = True
+    certainty_for_weight_computation_ths: float = 0.5
+
+
+class KeepTrackState(DiMPState):
+    prev_cand_desc: jnp.ndarray = None       # (K, D)
+    prev_cand_img_coords: jnp.ndarray = None  # (K, 2) x,y in patch pixels
+    prev_cand_scores: jnp.ndarray = None     # (K,)
+    prev_cand_valid: jnp.ndarray = None      # (K,) bool
+    prev_cand_frame: jnp.ndarray = None      # () int32
+
+
+class Candidate:
+    def __init__(self, cid, score, coord, object_id):
+        self.ids = [cid]
+        self.scores = [score]
+        self.coords = [coord]
+        self.object_id = object_id
+
+
+class CandidateCollection:
+    """Host-side association bookkeeping (reference candidates.py:12-114)."""
+
+    def __init__(self, scores, coords, candidate_selection_is_certain=True):
+        self.candidates = {}
+        self.object_id_cntr = 0
+        self.flag = "normal"
+        self.candidate_id_of_selected_candidate = 0
+        self.object_id_of_selected_candidate = 0
+        self.candidate_selection_is_certain = candidate_selection_is_certain
+        if not candidate_selection_is_certain:
+            self.object_id_of_selected_candidate = 1
+            self.object_id_cntr = 1
+        for cid, (score, coord) in enumerate(zip(scores, coords)):
+            self.candidates[cid] = Candidate(cid, score, coord, self.object_id_cntr)
+            self.object_id_cntr += 1
+
+    def update(self, scores, coords, matches, match_scores):
+        self._reassign(match_scores, matches, scores, coords)
+        detected = self._check_object0_detected()
+        detected = self._check_more_suitable(detected)
+        if not detected:
+            self._cleanup_not_found()
+            self._reselect()
+
+    def _reassign(self, match_scores, matches, scores, coords):
+        candidates = {}
+        for cid, (score, coord, match, mscore) in enumerate(
+                zip(scores, coords, matches, match_scores)):
+            if match >= 0 and match in self.candidates:
+                candidate = self.candidates[match]
+                low_prob = (mscore < 0.6 or (mscore < 0.85 and score < 0.2))
+                if candidate.object_id == self.object_id_of_selected_candidate \
+                        and low_prob:
+                    candidate = Candidate(cid, score, coord, self.object_id_cntr)
+                    self.object_id_cntr += 1
+                else:
+                    candidate.scores.append(score)
+                    candidate.ids.append(cid)
+                    candidate.coords.append(coord)
+                candidates[cid] = candidate
+            else:
+                candidates[cid] = Candidate(cid, score, coord, self.object_id_cntr)
+                self.object_id_cntr += 1
+        self.candidates = candidates
+
+    def _check_object0_detected(self):
+        detected = False
+        for cid, c in self.candidates.items():
+            if c.object_id == self.object_id_of_selected_candidate:
+                self.candidate_id_of_selected_candidate = cid
+                self.flag = "normal"
+                detected = True
+                if max(c.scores) > 0.75:
+                    self.candidate_selection_is_certain = True
+        return detected
+
+    def _check_more_suitable(self, detected):
+        if detected and self.candidate_id_of_selected_candidate != 0 \
+                and 0 in self.candidates:
+            best = self.candidates[0]
+            cur = self.candidates[self.candidate_id_of_selected_candidate]
+            if max(best.scores) > max(cur.scores):
+                self.flag = "normal"
+                self.candidate_id_of_selected_candidate = 0
+                self.object_id_of_selected_candidate = best.object_id
+        return detected
+
+    def _cleanup_not_found(self):
+        self.candidate_id_of_selected_candidate = None
+        if self.flag == "normal":
+            self.flag = "not_found"
+            self.candidate_selection_is_certain = False
+
+    def _reselect(self):
+        max_score = 0.0
+        for cid, c in self.candidates.items():
+            recent = c.scores[-1]
+            if recent > 0.25 and recent > max_score:
+                self.flag = "normal"
+                self.candidate_id_of_selected_candidate = cid
+                self.object_id_of_selected_candidate = c.object_id
+                max_score = recent
+
+
+class KeepTrackTracker(DiMPTracker):
+    """params: KeepTrackParams; net: base DiMPnet; tcm_net/tcm_variables: the candidate
+    matching network."""
+
+    def __init__(self, params: KeepTrackParams, net, variables, tcm_net=None,
+                 tcm_variables=None):
+        super().__init__(params, net, variables)
+        self.tcm_net = tcm_net
+        self.tcm_variables = tcm_variables
+        self._jit_part1 = jax.jit(self._track_part1)
+        self._jit_part2 = jax.jit(self._track_part2)
+        self.candidate_collection: Optional[CandidateCollection] = None
+
+    # ---------------------------------------------------------------- tcm helpers
+
+    def _tcm_backbone(self, patch):
+        return self.tcm_net.apply(self.tcm_variables, patch,
+                                  method=lambda m, x: m.extract_backbone(x))
+
+    def _tcm_descriptors(self, backbone_feat, coords):
+        return self.tcm_net.apply(self.tcm_variables, backbone_feat, coords,
+                                  method=lambda m, f, c: m.get_descriptors(f, c))
+
+    def _tcm_match(self, c0, c1, d0, d1, s0, s1, v0, v1):
+        return self.tcm_net.apply(
+            self.tcm_variables, c0, c1, d0, d1, s0, s1,
+            method=lambda m, a, b, x, y, u, w: m.match(a, b, x, y, u, w,
+                                                       valid0=v0, valid1=v1))
+
+    # ---------------------------------------------------------------- init
+
+    def initialize(self, image, info: Dict[str, Any]) -> dict:
+        out = super().initialize(image, info)
+        K = self.params.max_candidates
+        D = 256
+        base = {f: getattr(self.state, f) for f in DiMPState.__dataclass_fields__}
+        self.state = KeepTrackState(
+            **base,
+            prev_cand_desc=jnp.zeros((K, D)),
+            prev_cand_img_coords=jnp.zeros((K, 2)),
+            prev_cand_scores=jnp.zeros((K,)),
+            prev_cand_valid=jnp.zeros((K,), bool),
+            prev_cand_frame=jnp.asarray(-10, jnp.int32))
+        self.candidate_collection = None
+        return out
+
+    # ---------------------------------------------------------------- track
+
+    def track(self, image, info: Optional[dict] = None) -> dict:
+        p = self.params
+        im = jnp.asarray(image)
+        state, part1 = self._jit_part1(self.state, im)
+
+        # fetch the small candidate arrays for host-side association
+        cand_scores = np.asarray(part1["cand_scores"])
+        cand_coords = np.asarray(part1["cand_coords"])       # (K, 2) score-grid rc
+        cand_valid = np.asarray(part1["cand_valid"])
+        matches = np.asarray(part1["matches"])
+        match_scores = np.asarray(part1["match_scores"])
+        max_score1 = float(part1["max_score"])
+        prev_frame_gap = int(part1["prev_frame_gap"])
+
+        K = int(cand_valid.sum())
+        scores_l = cand_scores[:K].tolist()
+        coords_l = [cand_coords[i] for i in range(K)]
+
+        use_matching = max_score1 >= p.local_max_candidate_score_th and K > 0
+        if not use_matching or prev_frame_gap > 1 or self.candidate_collection is None:
+            # fall back to standard DiMP localization (device already computed it)
+            sel_coord = np.asarray(part1["default_disp"])
+            flag_code = int(part1["default_flag"])
+            cand_score = max_score1
+            if use_matching:
+                self.candidate_collection = CandidateCollection(
+                    scores_l, coords_l,
+                    candidate_selection_is_certain=int(self.state.frame_num) < 10)
+            else:
+                self.candidate_collection = None
+        else:
+            self.candidate_collection.update(scores_l, coords_l,
+                                             matches[:K].tolist(),
+                                             match_scores[:K].tolist())
+            cid = self.candidate_collection.candidate_id_of_selected_candidate
+            if cid is None or cid >= K:
+                sel_coord = np.asarray(part1["default_disp"])
+                flag_code = FLAG_NOT_FOUND
+                cand_score = max_score1
+            else:
+                sel_coord = cand_coords[cid]
+                flag_code = {"normal": FLAG_NORMAL,
+                             "not_found": FLAG_NOT_FOUND}[
+                    self.candidate_collection.flag]
+                cand_score = float(cand_scores[cid])
+
+        certain = (self.candidate_collection is None
+                   or self.candidate_collection.candidate_selection_is_certain)
+
+        self.state, out = self._jit_part2(
+            state, part1["backbone_l2"], part1["backbone_l3"], part1["test_x"],
+            part1["sample_pos"], part1["sample_scale"],
+            jnp.asarray(sel_coord, jnp.float32), jnp.asarray(flag_code, jnp.int32),
+            jnp.asarray(cand_score, jnp.float32), jnp.asarray(certain))
+
+        return {"target_bbox": np.asarray(out["target_bbox"]).tolist(),
+                "max_score": float(out["max_score"]),
+                "flag": FLAG_NAMES[int(out["flag"])]}
+
+    # ---------------------------------------------------------------- device step 1
+
+    def _track_part1(self, state: KeepTrackState, im):
+        p = self.params
+        im = im.astype(jnp.float32)
+        img_sample_sz = jnp.array(self._img_sample_sz, jnp.float32)
+        feat_sz = float(self._feature_sz)
+        score_sz = self._score_sz
+        output_sz = float(score_sz)
+        K = p.max_candidates
+
+        state = state.replace(frame_num=state.frame_num + 1)
+        centered_pos = state.pos + ((feat_sz + p.kernel_size) % 2) * \
+            state.target_scale * img_sample_sz / (2 * feat_sz)
+        patch, coords = sample_patch(im, centered_pos,
+                                     state.target_scale * img_sample_sz,
+                                     self._img_sample_sz, mode=p.border_mode,
+                                     max_scale_change=p.patch_max_scale_change)
+        sample_pos = 0.5 * (coords[:2] + coords[2:])
+        sample_scale = jnp.sqrt(jnp.prod((coords[2:] - coords[:2]) / img_sample_sz))
+
+        backbone_feat = self._backbone(patch[None])
+        test_x = self._clf_feat(backbone_feat)
+        scores = self._classify(state.target_filter, test_x)[0, :, :, 0]
+
+        # default DiMP localization (used when matching is skipped)
+        trans_default, flag_default, max_score = self._localize(
+            state, scores, sample_pos, sample_scale, output_sz, img_sample_sz)
+
+        # ---- top-K local maxima (reference find_local_maxima,
+        #      processing_utils.py:669-706): 5x5 max-pool NMS, threshold, sort
+        ks = 5
+        pooled = lax.reduce_window(scores, -jnp.inf, lax.max, (ks, ks), (1, 1),
+                                   "SAME")
+        peak_mask = (scores == pooled) & (scores > p.local_max_candidate_score_th)
+        flat = jnp.where(peak_mask.reshape(-1), scores.reshape(-1), -jnp.inf)
+        topv, topi = lax.top_k(flat, K)
+        cand_valid = jnp.isfinite(topv)
+        rr = (topi // score_sz).astype(jnp.float32)
+        cc = (topi % score_sz).astype(jnp.float32)
+        cand_coords = jnp.stack([rr, cc], axis=-1)                  # score-grid (r, c)
+        cand_scores = jnp.where(cand_valid, topv, 0.0)
+
+        # ---- descriptors at candidate locations through the matching backbone
+        tcm_feat = self._tcm_backbone(patch[None])
+        # score-grid -> tsm feature-grid coords (both stride 16; clip handles border)
+        desc = self._tcm_descriptors(tcm_feat, cand_coords[None].astype(jnp.int32))[0]
+
+        # ---- match against the previous frame's candidates
+        # img coords (x, y) in patch pixels (reference keep_track.py:437-470)
+        stride = float(p.feature_stride)
+        img_coords = jnp.stack([cand_coords[:, 1] * stride + stride / 2,
+                                cand_coords[:, 0] * stride + stride / 2], axis=-1)
+        pred = self._tcm_match(state.prev_cand_img_coords[None], img_coords[None],
+                               state.prev_cand_desc[None], desc[None],
+                               state.prev_cand_scores[None], cand_scores[None],
+                               state.prev_cand_valid[None], cand_valid[None])
+        assign = jnp.exp(pred["log_assignment"][0])                 # (K+1, K+1)
+        # for each current candidate j: best previous candidate i (or dustbin)
+        col = assign[:, :K]                                         # (K+1, K)
+        best_prev = jnp.argmax(col[:K], axis=0)                     # (K,)
+        best_prob = jnp.max(col[:K], axis=0)
+        dustbin_prob = col[K]
+        matches = jnp.where(best_prob > dustbin_prob, best_prev, -1)
+        match_scores = best_prob
+
+        prev_frame_gap = state.frame_num - state.prev_cand_frame
+
+        # store current candidates as "previous" for the next frame
+        state = state.replace(prev_cand_desc=desc,
+                              prev_cand_img_coords=img_coords,
+                              prev_cand_scores=cand_scores,
+                              prev_cand_valid=cand_valid,
+                              prev_cand_frame=state.frame_num)
+
+        default_disp = trans_default  # image-coord translation vector
+        return state, {
+            "cand_scores": cand_scores, "cand_coords": cand_coords,
+            "cand_valid": cand_valid, "matches": matches,
+            "match_scores": match_scores, "max_score": max_score,
+            "default_disp": default_disp, "default_flag": flag_default,
+            "prev_frame_gap": prev_frame_gap,
+            "backbone_l2": backbone_feat["layer2"],
+            "backbone_l3": backbone_feat["layer3"], "test_x": test_x,
+            "sample_pos": sample_pos, "sample_scale": sample_scale,
+        }
+
+    # ---------------------------------------------------------------- device step 2
+
+    def _track_part2(self, state: KeepTrackState, backbone_l2, backbone_l3, test_x,
+                     sample_pos, sample_scale, sel_coord, flag, cand_score, certain):
+        """sel_coord: either a score-grid (r, c) candidate coordinate (when matching
+        selected a candidate; flag from the collection) or directly an image-coord
+        translation (fallback path passes `default_disp`). We distinguish by treating
+        the 2-vector as a translation when any |v| > score grid size."""
+        p = self.params
+        img_sample_sz = jnp.array(self._img_sample_sz, jnp.float32)
+        score_sz = float(self._score_sz)
+        output_sz = score_sz
+        score_center = (score_sz - 1) / 2
+
+        is_grid_coord = jnp.all(jnp.abs(sel_coord) <= score_sz)
+        disp_from_grid = (sel_coord - score_center) * \
+            (img_sample_sz / output_sz) * sample_scale
+        translation = jnp.where(is_grid_coord, disp_from_grid, sel_coord)
+        new_pos = sample_pos + translation
+
+        found = flag != FLAG_NOT_FOUND
+
+        def clamp_pos(pos_new, sz):
+            inside_offset = (p.target_inside_ratio - 0.5) * sz
+            return jnp.maximum(jnp.minimum(pos_new, state.image_sz - inside_offset),
+                               inside_offset)
+
+        state = state.replace(pos=jnp.where(found,
+                                            clamp_pos(new_pos, state.target_sz),
+                                            state.pos))
+
+        backbone_feat = {"layer2": backbone_l2, "layer3": backbone_l3}
+        if p.use_iou_net:
+            update_scale = jnp.where(
+                p.update_scale_when_uncertain | (flag != FLAG_UNCERTAIN), True, False)
+            state = self._refine_target_box(state, backbone_feat, sample_pos,
+                                            sample_scale, img_sample_sz, found,
+                                            update_scale)
+
+        update_flag = (flag != FLAG_NOT_FOUND) & (flag != FLAG_UNCERTAIN)
+        hard_negative = flag == FLAG_HARD_NEG
+        if p.update_classifier:
+            target_box = _get_iounet_box(state.pos, state.target_sz, sample_pos,
+                                         sample_scale, img_sample_sz)
+            lr = jnp.where(hard_negative, p.hard_negative_learning_rate,
+                           p.learning_rate)
+            # certainty-weighted updates (reference keep_track.py:667-700): when the
+            # candidate selection is uncertain, do not add the sample to memory
+            do_update = update_flag & (certain |
+                                       (not p.use_certainty_for_weight_computation))
+            state = self._update_memory_masked(state, test_x[0], target_box, lr,
+                                               do_update)
+            state = self._update_classifier(state, hard_negative, do_update)
+
+        state = state.replace(flag=flag.astype(jnp.int32), max_score=cand_score)
+        bbox = jnp.concatenate([state.pos[::-1] - (state.target_sz[::-1] - 1) / 2,
+                                state.target_sz[::-1]])
+        return state, {"target_bbox": bbox, "max_score": cand_score, "flag": flag}
+
+
+def get_tracker_class():
+    return KeepTrackTracker

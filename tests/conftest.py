@@ -7,6 +7,9 @@ flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
 os.environ.setdefault("JAX_ENABLE_X64", "0")
+# the persistent compilation cache stores machine-specific CPU AOT blobs; loading them
+# on a different host generation risks SIGILL — keep the cache TPU-only
+os.environ["PYTRACKING_TPU_COMPILATION_CACHE"] = "0"
 
 import jax  # noqa: E402
 

@@ -107,3 +107,15 @@ def test_dimpnet50_training_forward_tiny():
     assert scores.shape[0] == 2  # iterates
     assert iou.shape == (1, 1, 4)
     assert np.all(np.isfinite(np.asarray(scores)))
+
+
+def test_swin_tiny_output_shapes():
+    from pytracking_tpu.models.backbones.swin import swin_tiny
+    net = swin_tiny(output_layers=("stage1", "stage2", "stage3", "stage4"))
+    x = jnp.zeros((1, 64, 96, 3))
+    params = net.init(jax.random.PRNGKey(0), x)
+    out = net.apply(params, x)
+    assert out["stage1"].shape == (1, 16, 24, 96)
+    assert out["stage2"].shape == (1, 8, 12, 192)
+    assert out["stage3"].shape == (1, 4, 6, 384)
+    assert out["stage4"].shape == (1, 2, 3, 768)
