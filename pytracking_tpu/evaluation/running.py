@@ -29,6 +29,10 @@ def _read_image(path: str) -> np.ndarray:
     if path.startswith("synthetic://"):
         from pytracking_tpu.evaluation.adapters.synthetic import load_synthetic_frame
         return load_synthetic_frame(path)
+    if path.lower().endswith((".jpg", ".jpeg")):
+        # native libjpeg decode (native/src/image_io.cc) with PIL fallback
+        from pytracking_tpu.utils.native_image import decode_jpeg
+        return decode_jpeg(path)
     try:
         import cv2
         im = cv2.imread(path)

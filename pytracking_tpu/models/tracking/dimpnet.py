@@ -196,3 +196,38 @@ def klcedimpnet50(filter_size: int = 4, optim_iter: int = 5, optim_init_step: fl
     return DiMPnet(feature_extractor=backbone, classifier=classifier,
                    bb_regressor=bb_regressor, classification_layer=classification_layer,
                    bb_regressor_layer=("layer2", "layer3"))
+
+
+def dimpnet50_simple(filter_size: int = 4, optim_iter: int = 5,
+                     optim_init_reg: float = 0.05, classification_layer: str = "layer3",
+                     feat_stride: int = 16, clf_feat_blocks: int = 0,
+                     clf_feat_norm: bool = True, final_conv: bool = True,
+                     out_feature_dim: int = 512, init_gauss_sigma: float = 0.9,
+                     num_dist_bins: int = 100, bin_displacement: float = 0.1,
+                     mask_init_factor: float = 3.0, iou_input_dim=(256, 256),
+                     iou_inter_dim=(256, 256), score_act: str = "bentpar",
+                     act_param: float = 0.05) -> DiMPnet:
+    """DiMP-50-simple: the generic residual-module-driven Gauss-Newton steepest descent
+    replaces the hand-unrolled optimizer (reference dimpnet.py:202-253,
+    train_settings/dimp/super_dimp_simple.py)."""
+    from pytracking_tpu.models.classifier.residual_modules import GNSteepestDescentDiMP
+
+    backbone = backbones.resnet50(output_layers=("layer2", "layer3"))
+    norm_scale = math.sqrt(1.0 / (out_feature_dim * filter_size * filter_size))
+    clf_fe = ResidualBottleneck(feature_dim=256, num_blocks=clf_feat_blocks,
+                                l2norm=clf_feat_norm, final_conv=final_conv,
+                                norm_scale=norm_scale, out_dim=out_feature_dim)
+    initializer = FilterInitializerLinear(filter_size=filter_size,
+                                          feature_dim=out_feature_dim)
+    optimizer = GNSteepestDescentDiMP(
+        num_iter=optim_iter, feat_stride=feat_stride,
+        init_filter_reg=optim_init_reg, init_gauss_sigma=init_gauss_sigma,
+        num_dist_bins=num_dist_bins, bin_displacement=bin_displacement,
+        mask_init_factor=mask_init_factor, score_act=score_act, act_param=act_param)
+    classifier = LinearFilter(filter_size=filter_size, filter_initializer=initializer,
+                              filter_optimizer=optimizer, feature_extractor=clf_fe)
+    bb_regressor = AtomIoUNet(input_dim=(512, 1024), pred_input_dim=tuple(iou_input_dim),
+                              pred_inter_dim=tuple(iou_inter_dim))
+    return DiMPnet(feature_extractor=backbone, classifier=classifier,
+                   bb_regressor=bb_regressor, classification_layer=classification_layer,
+                   bb_regressor_layer=("layer2", "layer3"))

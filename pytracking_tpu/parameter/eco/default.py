@@ -1,0 +1,35 @@
+"""ECO default parameters (reference pytracking/parameter/eco/default.py)."""
+
+import os
+
+import jax.numpy as jnp
+
+from pytracking_tpu.evaluation.environment import env_settings
+from pytracking_tpu.evaluation.tracker import TrackerSpec
+from pytracking_tpu.models.backbones import resnet as backbones
+from pytracking_tpu.trackers.eco import ECOParams
+from pytracking_tpu.utils.loading import load_or_init_variables
+
+import flax.linen as nn
+
+
+class _ECOBackbone(nn.Module):
+    """Thin wrapper exposing extract_backbone like the tracking nets."""
+    feature_extractor: nn.Module
+
+    def extract_backbone(self, im, train: bool = False):
+        x = backbones.normalize_image(im)
+        return self.feature_extractor(x, train=train)
+
+    def __call__(self, im, train: bool = False):
+        return self.extract_backbone(im, train=train)
+
+
+def parameters() -> TrackerSpec:
+    params = ECOParams()
+    env = env_settings()
+    net = _ECOBackbone(backbones.resnet18(output_layers=("conv1", "layer3")))
+    variables = load_or_init_variables(
+        net, (jnp.zeros((1, 64, 64, 3)),),
+        cache_path=os.path.join(env.network_path, "eco_backbone_init.msgpack"))
+    return TrackerSpec(params=params, net=net, variables=variables)

@@ -1,0 +1,32 @@
+"""TaMOs-SwinBase parameters (reference pytracking/parameter/tamos/tamos_swin_base.py)."""
+
+import os
+
+import jax.numpy as jnp
+
+from pytracking_tpu.evaluation.environment import env_settings
+from pytracking_tpu.evaluation.tracker import TrackerSpec
+from pytracking_tpu.models.tracking.tamosnet import tamosnet_swin_base
+from pytracking_tpu.trackers.tamos import TaMOsParams
+from pytracking_tpu.utils.loading import load_network, load_or_init_variables
+
+
+def parameters() -> TrackerSpec:
+    params = TaMOsParams()
+
+    env = env_settings()
+    ckpt = os.path.join(env.network_path, "tamos_swin_base.msgpack")
+    net = tamosnet_swin_base(feature_sz=max(params.train_feature_size),
+                             num_tokens=params.num_tokens)
+    if os.path.isfile(ckpt + ".json"):
+        net, variables = load_network(ckpt)
+    else:
+        Hs, Ws = params.image_sample_size
+        h, w = params.train_feature_size
+        K = params.num_tokens
+        example = (jnp.zeros((1, 1, Hs, Ws, 3)), jnp.zeros((1, 1, Hs, Ws, 3)),
+                   jnp.zeros((1, 1, K, h, w)))
+        variables = load_or_init_variables(
+            net, example,
+            cache_path=os.path.join(env.network_path, "tamos_swin_init.msgpack"))
+    return TrackerSpec(params=params, net=net, variables=variables)

@@ -1,0 +1,56 @@
+"""MS-COCO as a "sequence" dataset: each instance is a length-1 sequence
+(reference ltr/dataset/coco_seq.py:11).
+
+Requires the COCO annotation JSON; the pycocotools dependency is avoided by parsing the
+instances file directly (bbox-only; segmentation polygons are kept raw for mask users).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Optional
+
+import numpy as np
+
+from pytracking_tpu.training.datasets.base import BaseImageDataset
+from pytracking_tpu.training.datasets.lasot import _read_image
+
+
+class MSCOCOSeq(BaseImageDataset):
+    def __init__(self, root: str, split: str = "train", version: str = "2017",
+                 min_area: float = 50.0):
+        super().__init__("coco", root)
+        anno_path = os.path.join(root, "annotations",
+                                 f"instances_{split}{version}.json")
+        with open(anno_path) as f:
+            data = json.load(f)
+        self.img_info = {im["id"]: im for im in data["images"]}
+        self.img_prefix = os.path.join(root, f"{split}{version}")
+        self.sequence_list = [a for a in data["annotations"]
+                              if not a.get("iscrowd", 0)
+                              and a["bbox"][2] * a["bbox"][3] > min_area]
+        self.cats = {c["id"]: c["name"] for c in data.get("categories", [])}
+
+    def is_video_sequence(self):
+        return False
+
+    def has_class_info(self):
+        return True
+
+    def get_sequence_info(self, seq_id: int):
+        a = self.sequence_list[seq_id]
+        bbox = np.asarray(a["bbox"], np.float32).reshape(1, 4)
+        valid = np.array([bbox[0, 2] > 0 and bbox[0, 3] > 0])
+        return {"bbox": bbox, "valid": valid, "visible": valid.copy()}
+
+    def get_frames(self, seq_id: int, frame_ids, anno=None):
+        a = self.sequence_list[seq_id]
+        im_info = self.img_info[a["image_id"]]
+        img = _read_image(os.path.join(self.img_prefix, im_info["file_name"]))
+        frames = [img for _ in frame_ids]
+        if anno is None:
+            anno = self.get_sequence_info(seq_id)
+        frame_anno = {k: [v[0] for _ in frame_ids] for k, v in anno.items()}
+        return frames, frame_anno, {
+            "object_class_name": self.cats.get(a.get("category_id"))}

@@ -110,3 +110,109 @@ class ATOMProcessing(DiMPProcessing):
     def __init__(self, *args, **kwargs):
         kwargs.setdefault("label_function_params", None)
         super().__init__(*args, **kwargs)
+
+
+def _encode_ltrb(boxes: np.ndarray, output_sz: int, stride: int) -> np.ndarray:
+    """Dense LTRB map of a box on the feature grid, normalized by the crop size
+    (reference processing.py ToMPProcessing._generate_ltrb_targets)."""
+    sz = output_sz // stride
+    loc = np.arange(0, output_sz, stride, np.float32) + stride / 2
+    xs = loc[None, :]
+    ys = loc[:, None]
+    x1, y1, w, h = [float(v) for v in boxes]
+    l = xs - x1
+    t = ys - y1
+    r = (x1 + w) - xs
+    b = (y1 + h) - ys
+    l, t, r, b = [np.broadcast_to(v, (sz, sz)) for v in (l, t, r, b)]
+    return np.stack([l, t, r, b], axis=-1) / output_sz
+
+
+class ToMPProcessing(DiMPProcessing):
+    """ToMP training processing (reference processing.py:1439-1616): crops + Gaussian
+    labels + dense LTRB regression targets for train and test frames."""
+
+    def __call__(self, data: dict) -> dict:
+        data = super().__call__(data)
+        stride = self.label_function_params.get("stride", 16) \
+            if self.label_function_params else 16
+        for s in ("train", "test"):
+            data[s + "_ltrb_target"] = [
+                _encode_ltrb(np.asarray(a, np.float32), self.output_sz, stride)
+                for a in data[s + "_anno"]]
+        return data
+
+
+class KLDiMPProcessing(DiMPProcessing):
+    """PrDiMP training processing (reference processing.py:494-667): Gaussian-mixture
+    proposal sampling with densities for the KL regression objective, plus label
+    DENSITY maps."""
+
+    def _generate_proposals(self, box: np.ndarray):
+        p = self.proposal_params
+        num = p["boxes_per_frame"]
+        sigmas = p.get("proposal_sigma", [(0.05, 0.05), (0.5, 0.5)])
+        from pytracking_tpu.ops.bbox import rect_to_rel, rel_to_rect
+        import jax.numpy as jnp
+
+        box = np.asarray(box, np.float64)
+        proposals = np.zeros((num, 4), np.float32)
+        densities = np.zeros((num,), np.float32)
+        sz_norm = box[2:]
+        center_rel = np.concatenate([(box[:2] + box[2:] / 2) / sz_norm,
+                                     np.log(np.maximum(box[2:], 1e-6))])
+        proposals[0] = box
+        densities[0] = 0.0
+        for i in range(num):
+            s = sigmas[np.random.randint(len(sigmas))]
+            std = np.array([s[0], s[0], s[1], s[1]])
+            if i == 0:
+                d = np.zeros(4)
+            else:
+                d = np.random.randn(4) * std
+            rel = center_rel + d
+            c = rel[:2] * sz_norm
+            wh = np.exp(rel[2:])
+            proposals[i] = np.concatenate([c - wh / 2, wh])
+            # mixture density at the drawn offset
+            dens = np.mean([np.prod(
+                np.exp(-0.5 * (d / np.array([sg[0], sg[0], sg[1], sg[1]])) ** 2) /
+                (np.sqrt(2 * np.pi) * np.array([sg[0], sg[0], sg[1], sg[1]])))
+                for sg in sigmas])
+            densities[i] = dens
+        gt_density = np.zeros((num,), np.float32)
+        gt_density[0] = 1.0
+        return proposals, densities, gt_density
+
+    def __call__(self, data: dict) -> dict:
+        if self.transform["joint"] is not None:
+            data["train_images"], data["train_anno"] = self.transform["joint"](
+                image=data["train_images"], bbox=data["train_anno"])
+            data["test_images"], data["test_anno"] = self.transform["joint"](
+                image=data["test_images"], bbox=data["test_anno"], joint=False)
+        for s in ("train", "test"):
+            jittered = [self._get_jittered_box(np.asarray(a, np.float32), s)
+                        for a in data[s + "_anno"]]
+            crops, boxes = prutils.jittered_center_crop(
+                data[s + "_images"], jittered, data[s + "_anno"],
+                self.search_area_factor, self.output_sz)
+            crops, boxes = self.transform[s](image=crops, bbox=boxes, joint=False)
+            data[s + "_images"] = [np.asarray(c, np.float32) for c in crops]
+            data[s + "_anno"] = [np.asarray(b, np.float32) for b in boxes]
+
+        if self.proposal_params:
+            out = [self._generate_proposals(a) for a in data["test_anno"]]
+            data["test_proposals"] = [o[0] for o in out]
+            data["proposal_density"] = [o[1] for o in out]
+            data["gt_density"] = [o[2] for o in out]
+
+        if self.label_function_params is not None:
+            p = self.label_function_params
+            data["test_label_density"] = [
+                prutils.gaussian_label_function(
+                    a[None], p["sigma_factor"], p["kernel_sz"], p["feature_sz"],
+                    self.output_sz, density=True)[0]
+                for a in data["test_anno"]]
+            data["train_label"] = [self._generate_label_function(a[None])[0]
+                                   for a in data["train_anno"]]
+        return data
