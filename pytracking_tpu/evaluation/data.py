@@ -34,10 +34,11 @@ class Sequence:
                  ground_truth_rect, ground_truth_seg=None, init_data: dict = None,
                  object_class: str = None, target_visible=None,
                  object_ids: Optional[List[str]] = None,
-                 multiobj_mode: bool = False):
+                 multiobj_mode: bool = False, attributes=None):
         self.name = name
         self.frames = frames
         self.dataset = dataset
+        self.attributes = attributes or []
         self.ground_truth_rect = np.asarray(ground_truth_rect) \
             if ground_truth_rect is not None else None
         self.ground_truth_seg = ground_truth_seg

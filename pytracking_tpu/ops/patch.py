@@ -69,6 +69,19 @@ def _shrink_inside(pos, sample_sz, im_sz, mode: str, max_scale_change):
     return pos, sample_sz
 
 
+def _resample_weights(src_coords: jnp.ndarray, src_size: int,
+                      spread: jnp.ndarray) -> jnp.ndarray:
+    """Separable resampling weight matrix W (out, src): row i is a normalized triangle
+    filter of width `spread` (≥1) centered at src_coords[i], with out-of-range mass
+    clamped onto the border pixels (replicate padding). Rows sum to 1, so a matmul
+    with W realizes anti-aliased crop+resize."""
+    grid = jnp.arange(src_size, dtype=jnp.float32)
+    # clamp centers into range: out-of-image samples replicate the border row/col
+    c = jnp.clip(src_coords, 0.0, src_size - 1.0)
+    w = jnp.maximum(0.0, 1.0 - jnp.abs(c[:, None] - grid[None, :]) / spread)
+    return w / jnp.maximum(w.sum(axis=1, keepdims=True), 1e-8)
+
+
 def sample_patch(im: jnp.ndarray, pos: jnp.ndarray, sample_sz: jnp.ndarray,
                  output_sz: Tuple[int, int], mode: str = "replicate",
                  max_scale_change=None, aa_taps: int = 2,
@@ -76,10 +89,17 @@ def sample_patch(im: jnp.ndarray, pos: jnp.ndarray, sample_sz: jnp.ndarray,
     """Extract a patch of (traced) extent `sample_sz` centered at (traced) `pos` from
     im (H, W, C), resampled to static `output_sz` (oh, ow).
 
+    TPU-native formulation: the crop+resize is SEPARABLE, so it is computed as two
+    dense weight matmuls P = W_y · im · W_xᵀ that run on the MXU — a gather-based warp
+    costs ~10⁶ scalar gathers per frame on TPU, the matmuls are sub-millisecond. The
+    triangle-filter rows double as area anti-aliasing when downsampling (the
+    reference's integer pre-decimation, preprocessing.py:88-103).
+
     Returns (patch (oh, ow, C), coords (4,) = [tl_y, tl_x, br_y, br_x] in image coords —
     the actual extent sampled, for mapping results back).
     """
     oh, ow = output_sz
+    H, W = im.shape[0], im.shape[1]
     pos = jnp.asarray(pos, jnp.float32)
     sample_sz = jnp.asarray(sample_sz, jnp.float32)
     if mode in ("inside", "inside_major"):
@@ -91,29 +111,21 @@ def sample_patch(im: jnp.ndarray, pos: jnp.ndarray, sample_sz: jnp.ndarray,
     ys = pos[0] + j * sample_sz[0]
     xs = pos[1] + i * sample_sz[1]
 
-    if is_mask or aa_taps <= 1:
+    if is_mask:
+        # nearest-neighbor for masks (reference sample_patch:146) — small gathers
         yy, xx = jnp.meshgrid(ys, xs, indexing="ij")
-        if is_mask:
-            # nearest-neighbor for masks (reference sample_patch:146)
-            H, W = im.shape[0], im.shape[1]
-            patch = im[jnp.clip(jnp.round(yy), 0, H - 1).astype(jnp.int32),
-                       jnp.clip(jnp.round(xx), 0, W - 1).astype(jnp.int32)]
-        else:
-            patch = bilinear_sample(im, yy, xx)
+        patch = im[jnp.clip(jnp.round(yy), 0, H - 1).astype(jnp.int32),
+                   jnp.clip(jnp.round(xx), 0, W - 1).astype(jnp.int32)]
     else:
-        # K×K-tap area anti-aliasing, only active where we downsample (taps collapse to
-        # the same point when scale <= 1 would over-blur; scale tap spread accordingly)
-        K = aa_taps
-        t = (jnp.arange(K, dtype=jnp.float32) + 0.5) / K - 0.5
-        spread_y = jnp.maximum(scale[0], 1.0)
-        spread_x = jnp.maximum(scale[1], 1.0)
-        acc = 0.0
-        for ty in range(K):
-            for tx in range(K):
-                yy, xx = jnp.meshgrid(ys + t[ty] * spread_y, xs + t[tx] * spread_x,
-                                      indexing="ij")
-                acc = acc + bilinear_sample(im, yy, xx)
-        patch = acc / (K * K)
+        spread_y = jnp.maximum(scale[0], 1.0) if aa_taps > 1 else jnp.asarray(1.0)
+        spread_x = jnp.maximum(scale[1], 1.0) if aa_taps > 1 else jnp.asarray(1.0)
+        wy = _resample_weights(ys, H, spread_y)              # (oh, H)
+        wx = _resample_weights(xs, W, spread_x)              # (ow, W)
+        imf = im.astype(jnp.float32)
+        patch = jnp.einsum("ih,hwc->iwc", wy, imf,
+                           preferred_element_type=jnp.float32)
+        patch = jnp.einsum("jw,iwc->ijc", wx, patch,
+                           preferred_element_type=jnp.float32)
 
     coords = jnp.concatenate([pos - sample_sz / 2, pos + sample_sz / 2])
     return patch, coords
