@@ -48,6 +48,8 @@ class LaSOTDataset(BaseDataset):
                 target_visible = (occ[:n] == 0) & (oov[:n] == 0)
             frames = [os.path.join(seq_dir, "img", f"{i:08d}.jpg")
                       for i in range(1, len(gt) + 1)]
+            from pytracking_tpu.evaluation.attribute_specs import sequence_attributes
             seqs.append(Sequence(name, frames, "lasot", gt,
-                                 target_visible=target_visible))
+                                 target_visible=target_visible,
+                                 attributes=sequence_attributes("lasot", name)))
         return SequenceList(seqs)

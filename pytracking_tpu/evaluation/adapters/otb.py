@@ -25,11 +25,18 @@ _MULTI_GT = {"Jogging": ["groundtruth_rect.1.txt", "groundtruth_rect.2.txt"],
 
 
 class OTBDataset(BaseDataset):
-    def __init__(self):
+    def __init__(self, attribute=None):
         super().__init__()
         self.base_path = self.env_settings.otb_path
+        self.attribute = attribute
+
+    def get_attribute_names(self, mode="short"):
+        from pytracking_tpu.evaluation.attribute_specs import attribute_names
+        return attribute_names("otb", mode)
 
     def get_sequence_list(self) -> SequenceList:
+        from pytracking_tpu.evaluation.attribute_specs import (
+            filter_names_by_attribute, sequence_attributes)
         seqs = []
         for name in sorted(os.listdir(self.base_path)):
             seq_dir = os.path.join(self.base_path, name)
@@ -53,5 +60,10 @@ class OTBDataset(BaseDataset):
                     sel = [os.path.join(img_dir, f) for f in frames[:len(gt)]]
                 n = min(len(sel), len(gt))
                 seq_name = name if len(gt_files) == 1 else f"{name}-{i + 1}"
-                seqs.append(Sequence(seq_name, sel[:n], "otb", gt[:n]))
+                seqs.append(Sequence(seq_name, sel[:n], "otb", gt[:n],
+                                     attributes=sequence_attributes("otb", name)))
+        if self.attribute is not None:
+            keep = set(filter_names_by_attribute(
+                "otb", [s.name.split("-")[0] for s in seqs], self.attribute))
+            seqs = [s for s in seqs if s.name.split("-")[0] in keep]
         return SequenceList(seqs)

@@ -38,5 +38,7 @@ class UAVDataset(BaseDataset):
             gt = np.atleast_2d(load_text(os.path.join(anno_dir, fn)))
             frames = [os.path.join(img_dir, f"{i:06d}.jpg")
                       for i in range(1, len(gt) + 1)]
-            seqs.append(Sequence(f"uav_{name}", frames, "uav", gt))
+            from pytracking_tpu.evaluation.attribute_specs import sequence_attributes
+            seqs.append(Sequence(f"uav_{name}", frames, "uav", gt,
+                                 attributes=sequence_attributes("uav", name)))
         return SequenceList(seqs)

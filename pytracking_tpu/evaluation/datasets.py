@@ -48,6 +48,20 @@ dataset_dict = dict(
                            kwargs={"version": "2017", "split": "val"}),
     yt2019_valid=DatasetInfo(module=_BASE % "youtubevos", class_name="YouTubeVOSDataset",
                              kwargs={"version": "2019", "split": "valid"}),
+    oxuva_dev=DatasetInfo(module=_BASE % "oxuva", class_name="OxUvADataset",
+                          kwargs={"split": "dev"}),
+    oxuva_test=DatasetInfo(module=_BASE % "oxuva", class_name="OxUvADataset",
+                           kwargs={"split": "test"}),
+    lagot=DatasetInfo(module=_BASE % "lagot", class_name="LaGOTDataset", kwargs={}),
+    lagot_sot=DatasetInfo(module=_BASE % "lagot", class_name="LaGOTDataset",
+                          kwargs={"sot_mode": True}),
+    mobiface_all=DatasetInfo(module=_BASE % "mobiface", class_name="MobifaceDataset",
+                             kwargs={"split": "all"}),
+    mobiface_train=DatasetInfo(module=_BASE % "mobiface",
+                               class_name="MobifaceDataset",
+                               kwargs={"split": "train"}),
+    mobiface_test=DatasetInfo(module=_BASE % "mobiface", class_name="MobifaceDataset",
+                              kwargs={"split": "test"}),
 )
 
 

@@ -32,6 +32,9 @@ class EnvSettings:
         self.youtubevos_dir = ""
         self.avist_path = ""
         self.oxuva_path = ""
+        self.lagot_path = ""
+        self.mobiface_path = ""
+        self.attribute_specs_path = ""
 
         # environment-variable overrides: PYTRACKING_TPU_LASOT_PATH etc.
         for name in list(vars(self)):

@@ -102,8 +102,22 @@ def _save_tracker_output(seq: Sequence, tracker, output: dict):
 
 
 def run_sequence(seq: Sequence, tracker, debug: int = 0,
-                 visdom_info=None) -> Optional[dict]:
-    """Track one sequence, save results (reference running.py:138-186)."""
+                 visdom_info=None, profile_dir: Optional[str] = None
+                 ) -> Optional[dict]:
+    """Track one sequence, save results (reference running.py:138-186).
+
+    profile_dir: when set, wraps the sequence in `jax.profiler.trace` and writes a
+    TensorBoard/XProf trace there (device timelines, HLO cost, HBM) — the TPU-native
+    replacement for the reference's host-side timing debug levels."""
+    if profile_dir:
+        import jax
+
+        os.makedirs(profile_dir, exist_ok=True)
+        with jax.profiler.trace(profile_dir):
+            out = run_sequence(seq, tracker, debug=debug, visdom_info=visdom_info)
+        print(f"XProf trace written to {profile_dir} "
+              "(view: tensorboard --logdir <dir>)")
+        return out
     if debug == 0 and _results_exist(tracker, seq):
         print(f"FPS: {-1} -- skipping {seq.name}, results exist")
         return None
@@ -157,7 +171,8 @@ def run_sequence(seq: Sequence, tracker, debug: int = 0,
 
 
 def run_dataset(dataset, trackers: List, debug: int = 0, threads: int = 0,
-                shard: int = 0, num_shards: int = 1):
+                shard: int = 0, num_shards: int = 1,
+                profile_dir: Optional[str] = None):
     """Run (sequence × tracker) jobs (reference running.py:189-218). `shard` /
     `num_shards` shard the sequence list across processes/hosts for TPU-pod scale-out."""
     seqs = [s for i, s in enumerate(dataset) if i % num_shards == shard]
@@ -165,5 +180,6 @@ def run_dataset(dataset, trackers: List, debug: int = 0, threads: int = 0,
           f"(shard {shard}/{num_shards})")
     for seq in seqs:
         for tracker in trackers:
-            run_sequence(seq, tracker, debug=debug)
+            run_sequence(seq, tracker, debug=debug, profile_dir=profile_dir)
+            profile_dir = None  # profile only the first sequence
     print("Done")

@@ -41,3 +41,51 @@ class ResidualDS16SW(nn.Module):
                      bias_init=nn.initializers.ones, name="samp_w_pred")(x)
         out_shape = (Nf, Ns) + label.shape[1:]
         return label.reshape(out_shape), sw.reshape(out_shape)
+
+
+def bbox_to_gauss(bb: jnp.ndarray, sz) -> jnp.ndarray:
+    """Soft Gaussian box prior (reference label_encoder.py:175-187 bbox_to_gauss),
+    vectorized: bb (B, 4) xywh in image coords -> (B, H, W, 1)."""
+    H, W = sz
+    cx = bb[:, 0] + bb[:, 2] / 2
+    cy = bb[:, 1] + bb[:, 3] / 2
+    xs = jnp.arange(W, dtype=jnp.float32)[None, None, :]
+    ys = jnp.arange(H, dtype=jnp.float32)[None, :, None]
+    dx2 = (xs - cx[:, None, None]) ** 2 / jnp.maximum(0.25 * bb[:, 2], 1.0)[:, None, None] ** 2
+    dy2 = (ys - cy[:, None, None]) ** 2 / jnp.maximum(0.25 * bb[:, 3], 1.0)[:, None, None] ** 2
+    return jnp.exp(-0.5 * (dx2 + dy2))[..., None]
+
+
+class ResidualDS16FeatSWBox(nn.Module):
+    """Box-initialized label encoder (reference label_encoder.py:128-207): render the
+    box as a Gaussian prior map, downsample it /16, concatenate target-model features,
+    and predict the few-shot label + sample weights. Used by LWTLBoxNet for
+    box-initialized VOS (reference lwl_box_net.py:17)."""
+    layer_dims: tuple = (16, 32, 64, 64, 16)
+    use_bn: bool = True
+    use_gauss: bool = True
+
+    @nn.compact
+    def __call__(self, bb, feat, im_sz, train: bool = False):
+        """bb (Nf, Ns, 4) xywh in image coords; feat (Nf, Ns, H/16, W/16, C);
+        im_sz (H, W). Returns (label_enc, sample_w), both (Nf, Ns, H/16, W/16, K)."""
+        Nf, Ns = bb.shape[0], bb.shape[1]
+        prior = bbox_to_gauss(bb.reshape(-1, 4), im_sz)            # (B, H, W, 1)
+        x = ConvBlock(self.layer_dims[0], 3, stride=2, batch_norm=self.use_bn,
+                      name="conv_block")(prior, train=train)
+        x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=[(1, 1), (1, 1)])
+        x = BasicBlock(self.layer_dims[1], stride=2, downsample=True,
+                       name="res1")(x, train=train)
+        x = BasicBlock(self.layer_dims[2], stride=2, downsample=True,
+                       name="res2")(x, train=train)
+        f = feat.reshape((-1,) + feat.shape[2:])
+        x = jnp.concatenate([x, f], axis=-1)
+        x = BasicBlock(self.layer_dims[3], stride=1, downsample=True,
+                       name="res3")(x, train=train)
+        label = ConvBlock(self.layer_dims[4], 3, batch_norm=self.use_bn,
+                          name="label_pred")(x, train=train)
+        sw = nn.Conv(self.layer_dims[4], (3, 3), padding=[(1, 1), (1, 1)],
+                     kernel_init=nn.initializers.zeros,
+                     bias_init=nn.initializers.ones, name="samp_w_pred")(x)
+        out_shape = (Nf, Ns) + label.shape[1:]
+        return label.reshape(out_shape), sw.reshape(out_shape)

@@ -152,3 +152,69 @@ def steepest_descent_resnet50(filter_size: int = 3, num_filters: int = 16,
                    decoder=decoder, label_encoder=label_encoder,
                    target_model_input_layer=target_model_input_layer,
                    decoder_input_layers=tuple(decoder_input_layers))
+
+
+class LWTLBoxNet(LWTLNet):
+    """LWL with a box-initialized label encoder (reference lwl_box_net.py:17
+    LWTLBoxNet): a second encoder renders the first-frame bounding box as a Gaussian
+    prior and predicts the few-shot label from it, so the tracker can start from a box
+    instead of a mask. Only the box encoder (+decoder head) is trained in the boxinit
+    stage (reference train_settings/lwl/lwl_boxinit.py)."""
+    box_label_encoder: Optional[nn.Module] = None
+
+    def encode_box(self, bb, feat_tm, im_sz, train: bool = False):
+        """bb (Nf, Ns, 4); feat_tm (Nf, Ns, h, w, C) -> (label, sample_w)."""
+        return self.box_label_encoder(bb, feat_tm, im_sz, train=train)
+
+    def box_forward(self, train_imgs, train_bb, train: bool = True):
+        """Box-init training forward (reference LWLBoxActor, actors/segmentation.py:
+        90-140): encode the boxes, decode masks for the SAME frames; the loss
+        supervises them with the ground-truth masks."""
+        Ntr, Ns = train_imgs.shape[0], train_imgs.shape[1]
+        H, W = train_imgs.shape[2], train_imgs.shape[3]
+        bb_feat = self.extract_backbone(
+            train_imgs.reshape((-1,) + train_imgs.shape[2:]), train=train)
+        feat_tm = self.target_model.extract_target_model_features(
+            bb_feat[self.target_model_input_layer], train=train)
+        feat_tm = feat_tm.reshape((Ntr, Ns) + feat_tm.shape[1:])
+        label, _ = self.encode_box(train_bb, feat_tm, (H, W), train=train)
+        feats = {k: bb_feat[k] for k in self.decoder_input_layers}
+        mask, _ = self.decoder(label.reshape((-1,) + label.shape[2:]), feats, (H, W),
+                               train=train)
+        return mask.reshape(Ntr, Ns, H, W)
+
+    def segment_target_from_box(self, bb, feat_tm, backbone_feat,
+                                image_size, train: bool = False):
+        """Tracker-side box initialization: box -> label -> filter-free decode, used
+        to bootstrap the first-frame mask (reference lwl_box_net.py:126-136)."""
+        label, _ = self.encode_box(bb, feat_tm, image_size, train=train)
+        feats = {k: backbone_feat[k] for k in self.decoder_input_layers}
+        mask, _ = self.decoder(label.reshape((-1,) + label.shape[2:]), feats,
+                               image_size, train=train)
+        return mask[0, :, :, 0], label
+
+
+def steepest_descent_resnet50_boxinit(filter_size: int = 3, num_filters: int = 16,
+                                      optim_iter: int = 5,
+                                      optim_init_reg: float = 0.01,
+                                      out_feature_dim: int = 512,
+                                      label_encoder_dims=(16, 32, 64),
+                                      box_label_encoder_dims=(16, 32, 64, 64),
+                                      decoder_mdim: int = 64) -> LWTLBoxNet:
+    """LWL box-init net (reference lwl_box_net.py:155-240)."""
+    from pytracking_tpu.models.lwl.label_encoder import ResidualDS16FeatSWBox
+
+    base = steepest_descent_resnet50(filter_size=filter_size,
+                                     num_filters=num_filters, optim_iter=optim_iter,
+                                     optim_init_reg=optim_init_reg,
+                                     out_feature_dim=out_feature_dim,
+                                     label_encoder_dims=label_encoder_dims,
+                                     decoder_mdim=decoder_mdim)
+    box_enc = ResidualDS16FeatSWBox(layer_dims=tuple(box_label_encoder_dims) +
+                                    (num_filters,))
+    return LWTLBoxNet(feature_extractor=base.feature_extractor,
+                      target_model=base.target_model, decoder=base.decoder,
+                      label_encoder=base.label_encoder,
+                      box_label_encoder=box_enc,
+                      target_model_input_layer=base.target_model_input_layer,
+                      decoder_input_layers=base.decoder_input_layers)

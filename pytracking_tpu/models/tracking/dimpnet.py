@@ -231,3 +231,37 @@ def dimpnet50_simple(filter_size: int = 4, optim_iter: int = 5,
     return DiMPnet(feature_extractor=backbone, classifier=classifier,
                    bb_regressor=bb_regressor, classification_layer=classification_layer,
                    bb_regressor_layer=("layer2", "layer3"))
+
+
+def klcedimpnet18(filter_size: int = 4, optim_iter: int = 5,
+                  optim_init_step: float = 1.0, optim_init_reg: float = 0.05,
+                  optim_min_reg: float = 0.05, gauss_sigma: float = 0.9,
+                  alpha_eps: float = 0.05, normalize_label: bool = True,
+                  classification_layer: str = "layer3", feat_stride: int = 16,
+                  clf_feat_blocks: int = 1, clf_feat_norm: bool = True,
+                  final_conv: bool = True, out_feature_dim: int = 256,
+                  iou_input_dim=(256, 256), iou_inter_dim=(256, 256),
+                  label_shrink: float = 0.0, softmax_reg=None,
+                  label_threshold: float = 0.0, init_uni_weight=None) -> DiMPnet:
+    """PrDiMP-18 (reference dimpnet.py:257-345 klcedimpnet18)."""
+    backbone = backbones.resnet18(output_layers=("layer2", "layer3"))
+    norm_scale = math.sqrt(1.0 / (out_feature_dim * filter_size * filter_size))
+    clf_fe = ResidualBasicBlock(feature_dim=256, num_blocks=clf_feat_blocks,
+                                l2norm=clf_feat_norm, final_conv=final_conv,
+                                norm_scale=norm_scale, out_dim=out_feature_dim)
+    initializer = FilterInitializerZero(filter_size=filter_size,
+                                        feature_dim=out_feature_dim)
+    optimizer = PrDiMPSteepestDescentNewton(
+        num_iter=optim_iter, feat_stride=feat_stride,
+        init_step_length=optim_init_step, init_filter_reg=optim_init_reg,
+        min_filter_reg=optim_min_reg, gauss_sigma=gauss_sigma, alpha_eps=alpha_eps,
+        normalize_label=normalize_label, label_shrink=label_shrink,
+        softmax_reg=softmax_reg, label_threshold=label_threshold,
+        init_uni_weight=init_uni_weight)
+    classifier = LinearFilter(filter_size=filter_size, filter_initializer=initializer,
+                              filter_optimizer=optimizer, feature_extractor=clf_fe)
+    bb_regressor = AtomIoUNet(input_dim=(128, 256), pred_input_dim=tuple(iou_input_dim),
+                              pred_inter_dim=tuple(iou_inter_dim))
+    return DiMPnet(feature_extractor=backbone, classifier=classifier,
+                   bb_regressor=bb_regressor, classification_layer=classification_layer,
+                   bb_regressor_layer=("layer2", "layer3"))

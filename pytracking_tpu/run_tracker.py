@@ -16,12 +16,14 @@ from pytracking_tpu.evaluation.tracker import Tracker
 
 def run_tracker(tracker_name: str, tracker_param: str, run_id=None,
                 dataset_name: str = "synthetic", sequence=None, debug: int = 0,
-                threads: int = 0, shard: int = 0, num_shards: int = 1):
+                threads: int = 0, shard: int = 0, num_shards: int = 1,
+                profile_dir=None):
     dataset = get_dataset(dataset_name)
     if sequence is not None:
         dataset = [dataset[sequence]]
     trackers = [Tracker(tracker_name, tracker_param, run_id)]
-    run_dataset(dataset, trackers, debug, threads, shard=shard, num_shards=num_shards)
+    run_dataset(dataset, trackers, debug, threads, shard=shard,
+                num_shards=num_shards, profile_dir=profile_dir)
 
 
 def main():
@@ -45,9 +47,13 @@ def main():
                         help="this process's shard of the sequence list")
     parser.add_argument("--num_shards", type=int, default=1,
                         help="total eval processes/hosts")
+    parser.add_argument("--profile_dir", type=str, default=None,
+                        help="write a jax.profiler XProf trace of the first "
+                             "sequence here")
     args = parser.parse_args()
     run_tracker(args.tracker_name, args.tracker_param, args.runid, args.dataset_name,
-                args.sequence, args.debug, args.threads, args.shard, args.num_shards)
+                args.sequence, args.debug, args.threads, args.shard,
+                args.num_shards, args.profile_dir)
 
 
 if __name__ == "__main__":

@@ -39,3 +39,26 @@ class SyntheticVideoDataset(BaseVideoDataset):
             anno = self.get_sequence_info(seq_id)
         frame_anno = {k: [v[t] for t in frame_ids] for k, v in anno.items()}
         return frames, frame_anno, {"object_class_name": "synthetic"}
+
+
+class SyntheticVOSVideoDataset(SyntheticVideoDataset):
+    """Synthetic video dataset with per-frame segmentation masks (the rendered target
+    square), for driving the LWL/RTS segmentation training stack without data on disk
+    (reference training uses ltr/dataset/{davis,youtubevos}.py)."""
+
+    def has_segmentation_info(self) -> bool:
+        return True
+
+    def get_frames(self, seq_id: int, frame_ids: List[int],
+                   anno: Optional[dict] = None):
+        frames, frame_anno, meta = super().get_frames(seq_id, frame_ids, anno)
+        masks = []
+        for t in frame_ids:
+            cy, cx, sz = synthetic_gt_center(seq_id, t, self.H, self.W)
+            m = np.zeros((self.H, self.W), np.float32)
+            y0, y1 = int(max(cy - sz / 2, 0)), int(min(cy + sz / 2, self.H))
+            x0, x1 = int(max(cx - sz / 2, 0)), int(min(cx + sz / 2, self.W))
+            m[y0:y1, x0:x1] = 1.0
+            masks.append(m)
+        frame_anno["mask"] = masks
+        return frames, frame_anno, meta

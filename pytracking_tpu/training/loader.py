@@ -16,9 +16,11 @@ from typing import Iterator, Optional
 import numpy as np
 
 
-def _stack_dim1(samples: list) -> dict:
+def _stack_dim1(samples: list, stack_dim: int = 1) -> dict:
     """Collate a list of processed samples into frame-major arrays
-    (reference loader.py:19-120 ltr_collate_stack1)."""
+    (reference loader.py:19-120 ltr_collate_stack1). stack_dim=1 (default) yields
+    (num_frames, batch, ...); stack_dim=0 yields plain (batch, ...) like
+    reference ltr_collate."""
     out = {}
     keys = samples[0].keys()
     for k in keys:
@@ -29,9 +31,13 @@ def _stack_dim1(samples: list) -> dict:
         if isinstance(vals[0], (list, tuple)):
             # list over frames -> stack frames at dim 0, batch at dim 1
             frames = len(vals[0])
-            out[k] = np.stack(
+            stacked = np.stack(
                 [np.stack([np.asarray(v[f]) for v in vals], axis=0)
                  for f in range(frames)], axis=0)
+            out[k] = stacked if stack_dim == 1 else \
+                np.moveaxis(stacked, 0, 1)
+        elif stack_dim == 0:
+            out[k] = np.stack([np.asarray(v) for v in vals], axis=0)
         else:
             out[k] = np.stack([np.asarray(v) for v in vals], axis=0)[None] \
                 if np.asarray(vals[0]).ndim > 0 else np.asarray(vals)
@@ -68,7 +74,7 @@ class LTRLoader:
                     samples = list(pool.map(self.dataset.__getitem__,
                                             range(idx, idx + self.batch_size)))
                     idx += self.batch_size
-                    q.put(_stack_dim1(samples))
+                    q.put(_stack_dim1(samples, self.stack_dim))
         finally:
             q.put(None)
 
@@ -85,3 +91,37 @@ class LTRLoader:
                 yield batch
         finally:
             stop.set()
+
+
+class MultiEpochLTRLoader(LTRLoader):
+    """LTRLoader whose producer pool persists across epochs (reference
+    loader.py:194-208 / _RepeatSampler:211): the prefetch thread keeps filling the
+    queue through epoch boundaries so epoch N+1's first batch is already staged when
+    epoch N's last step finishes."""
+
+    def __init__(self, *args, **kwargs):
+        super().__init__(*args, **kwargs)
+        self._q: Optional[queue.Queue] = None
+
+    def _produce_forever(self, q: queue.Queue, stop: threading.Event):
+        from concurrent.futures import ThreadPoolExecutor
+        with ThreadPoolExecutor(self.num_workers) as pool:
+            while not stop.is_set():
+                idx = 0
+                for _ in range(len(self)):
+                    if stop.is_set():
+                        return
+                    samples = list(pool.map(self.dataset.__getitem__,
+                                            range(idx, idx + self.batch_size)))
+                    idx += self.batch_size
+                    q.put(_stack_dim1(samples, self.stack_dim))
+
+    def __iter__(self) -> Iterator[dict]:
+        if self._q is None:
+            self._q = queue.Queue(maxsize=self.prefetch)
+            self._stop = threading.Event()
+            t = threading.Thread(target=self._produce_forever,
+                                 args=(self._q, self._stop), daemon=True)
+            t.start()
+        for _ in range(len(self)):
+            yield self._q.get()

@@ -64,10 +64,11 @@ class DiMPProcessing(BaseProcessing):
         return prutils.gaussian_proposals(
             box, p["boxes_per_frame"], p.get("proposal_sigma", 0.05))
 
-    def _generate_label_function(self, target_bb: np.ndarray):
+    def _generate_label_function(self, target_bb: np.ndarray, feature_sz=None):
         p = self.label_function_params
         return prutils.gaussian_label_function(
-            target_bb, p["sigma_factor"], p["kernel_sz"], p["feature_sz"],
+            target_bb, p["sigma_factor"], p["kernel_sz"],
+            feature_sz if feature_sz is not None else p["feature_sz"],
             self.output_sz, end_pad_if_even=p.get("end_pad_if_even", True))
 
     def __call__(self, data: dict) -> dict:
@@ -215,4 +216,102 @@ class KLDiMPProcessing(DiMPProcessing):
                 for a in data["test_anno"]]
             data["train_label"] = [self._generate_label_function(a[None])[0]
                                    for a in data["train_anno"]]
+        return data
+
+
+class LWLProcessing(DiMPProcessing):
+    """Segmentation crop processing (reference ltr/data/processing.py LWLProcessing):
+    crops images AND masks around the jittered target box. Produces train/test_images,
+    train/test_anno and train/test_masks (crop-sized binary masks)."""
+
+    def __call__(self, data: dict) -> dict:
+        if self.transform["joint"] is not None:
+            data["train_images"], data["train_anno"] = self.transform["joint"](
+                image=data["train_images"], bbox=data["train_anno"])
+            data["test_images"], data["test_anno"] = self.transform["joint"](
+                image=data["test_images"], bbox=data["test_anno"], joint=False)
+
+        for s in ("train", "test"):
+            jittered = [self._get_jittered_box(np.asarray(a, np.float32), s)
+                        for a in data[s + "_anno"]]
+            crops, boxes = prutils.jittered_center_crop(
+                data[s + "_images"], jittered, data[s + "_anno"],
+                self.search_area_factor, self.output_sz)
+            mask_crops = None
+            if s + "_masks" in data:
+                mask_crops = [prutils.sample_target(
+                    np.asarray(m, np.float32), j, self.search_area_factor,
+                    self.output_sz)[0] for m, j in zip(data[s + "_masks"],
+                                                       jittered)]
+                mask_crops = [(m > 0.5).astype(np.float32) for m in mask_crops]
+            crops, boxes = self.transform[s](image=crops, bbox=boxes, joint=False)
+            data[s + "_images"] = [np.asarray(c, np.float32) for c in crops]
+            data[s + "_anno"] = [np.asarray(b, np.float32) for b in boxes]
+            if mask_crops is not None:
+                data[s + "_masks"] = mask_crops
+
+        if self.label_function_params is not None:
+            data["train_label"] = [self._generate_label_function(a[None])[0]
+                                   for a in data["train_anno"]]
+            data["test_label"] = [self._generate_label_function(a[None])[0]
+                                  for a in data["test_anno"]]
+        return data
+
+
+class TaMOsProcessing(ToMPProcessing):
+    """Multi-object batch processing for TaMOs (reference processing.py
+    TaMOsProcessing): lays single-object samples into K fixed slots — slot 0 carries
+    the object, the rest stay empty (zero labels / zero sample region). Full
+    multi-object blending comes from multi-object datasets; the slot layout and
+    masking are what the TaMOs actor consumes either way."""
+
+    def __init__(self, *args, num_objects: int = 3, stride_high: int = 8, **kwargs):
+        super().__init__(*args, **kwargs)
+        self.num_objects = num_objects
+        self.stride_high = stride_high
+
+    def __call__(self, data: dict) -> dict:
+        data = super().__call__(data)
+        K = self.num_objects
+        sz_lo = self.output_sz // (self.label_function_params.get("stride", 16)
+                                   if self.label_function_params else 16)
+        sz_hi = self.output_sz // self.stride_high
+
+        def slots(x, k_axis_last: bool):
+            x = np.asarray(x, np.float32)
+            out_shape = x.shape + (K,) if k_axis_last else (K,) + x.shape
+            out = np.zeros(out_shape, np.float32)
+            if k_axis_last:
+                out[..., 0] = x
+            else:
+                out[0] = x
+            return out
+
+        # train side: (K, h, w) labels + (K, 4, h, w) ltrb, slot-first
+        data["train_label"] = [slots(l, False) for l in data["train_label"]]
+        data["train_ltrb_target"] = [
+            np.transpose(slots(np.transpose(l, (2, 0, 1)), False), (0, 1, 2, 3))
+            for l in data["train_ltrb_target"]]
+
+        # test side on the high-res FPN grid, slot-last
+        import pytracking_tpu.training.processing_utils as pu
+        test_labels_hi = []
+        test_ltrb_hi = []
+        test_region = []
+        for a in data["test_anno"]:
+            lbl = self._generate_label_function(np.asarray(a, np.float32)[None],
+                                                feature_sz=sz_hi)[0]
+            test_labels_hi.append(slots(lbl, True))
+            ltrb = _encode_ltrb(np.asarray(a, np.float32), self.output_sz,
+                                self.stride_high)
+            test_ltrb_hi.append(slots(ltrb, False).transpose(1, 2, 0, 3))
+            x, y, w, h = [float(v) for v in a]
+            ys = (np.arange(sz_hi) + 0.5) * self.stride_high
+            xs = (np.arange(sz_hi) + 0.5) * self.stride_high
+            inside = ((ys[:, None] >= y) & (ys[:, None] <= y + h) &
+                      (xs[None, :] >= x) & (xs[None, :] <= x + w))
+            test_region.append(slots(inside.astype(np.float32), True))
+        data["test_label"] = test_labels_hi
+        data["test_ltrb_target"] = test_ltrb_hi
+        data["test_sample_region"] = test_region
         return data

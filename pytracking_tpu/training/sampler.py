@@ -114,6 +114,9 @@ class TrackingSampler:
         data = {"train_images": train_frames, "train_anno": train_anno["bbox"],
                 "test_images": test_frames, "test_anno": test_anno["bbox"],
                 "dataset": dataset.get_name()}
+        if "mask" in train_anno:
+            data["train_masks"] = train_anno["mask"]
+            data["test_masks"] = test_anno["mask"]
         if self.processing is not None:
             data = self.processing(data)
         return data
@@ -131,3 +134,9 @@ class ATOMSampler(TrackingSampler):
         super().__init__(datasets, p_datasets, samples_per_epoch, max_gap,
                          num_test_frames=1, num_train_frames=1, processing=processing,
                          frame_sample_mode=frame_sample_mode)
+
+
+class LWLSampler(TrackingSampler):
+    """Sampler for segmentation training (reference ltr/data/sampler.py LWLSampler):
+    identical frame sampling; masks ride through via the dataset's 'mask' anno (see
+    TrackingSampler.__getitem__) into LWLProcessing."""

@@ -1,0 +1,76 @@
+"""KYS training recipe (reference ltr/train_settings/kys/kys.py): train the
+scene-propagation module on causal frame sequences with the appearance model frozen
+(the reference loads a pretrained DiMP and trains predictor-only; pass
+`trainable_filter` through optax.masked if finetuning everything)."""
+
+from __future__ import annotations
+
+import optax
+
+from pytracking_tpu.models.tracking.kysnet import kysnet_res50
+from pytracking_tpu.parallel.mesh import make_mesh
+from pytracking_tpu.training import transforms as tfm
+from pytracking_tpu.training.actors.tracking import make_kys_actor
+from pytracking_tpu.training.datasets.synthetic_video import SyntheticVideoDataset
+from pytracking_tpu.training.loader import LTRLoader
+from pytracking_tpu.training.processing import DiMPProcessing
+from pytracking_tpu.training.sampler import DiMPSampler
+from pytracking_tpu.training.settings import Settings
+from pytracking_tpu.training.trainer import LTRTrainer
+
+
+def run(settings: Settings, datasets=None, max_epochs: int = 40,
+        samples_per_epoch: int = 2000, use_mesh: bool = True, net=None,
+        num_test_frames: int = 10):
+    settings.description = "KYS (reference recipe defaults)"
+    datasets = datasets or [SyntheticVideoDataset(num_sequences=128, seq_len=60)]
+
+    output_sigma = settings.output_sigma_factor / settings.search_area_factor
+    label_params = {"feature_sz": settings.feature_sz, "sigma_factor": output_sigma,
+                    "kernel_sz": settings.target_filter_sz}
+    processing = DiMPProcessing(search_area_factor=settings.search_area_factor,
+                                output_sz=settings.output_sz,
+                                center_jitter_factor={"train": 3, "test": 0.25},
+                                scale_jitter_factor={"train": 0.25, "test": 0.1},
+                                label_function_params=label_params,
+                                train_transform=tfm.Transform(
+                                    tfm.BrightnessJitter(0.2)),
+                                joint_transform=tfm.Transform(
+                                    tfm.ToGrayscale(probability=0.05)))
+    # causal mode: ordered test frames for the recurrent propagation
+    sampler = DiMPSampler(datasets, samples_per_epoch=samples_per_epoch, max_gap=30,
+                          num_test_frames=num_test_frames, num_train_frames=3,
+                          processing=processing, frame_sample_mode="causal")
+    loader = LTRLoader("train", sampler, training=True,
+                       batch_size=settings.batch_size,
+                       num_workers=settings.num_workers)
+
+    import jax
+    import jax.numpy as jnp
+
+    net = net or kysnet_res50(optim_iter=3)
+    sz = settings.output_sz
+    dummy = jnp.zeros((1, 1, sz, sz, 3))
+    bb = jnp.array([[[100.0, 100.0, 50.0, 50.0]]])
+    variables = net.init(jax.random.PRNGKey(0), dummy, dummy, bb, bb[:, :, None],
+                         train=False)
+    h = settings.feature_sz
+    mf = jnp.zeros((1, h, h, 512))
+    ds = jnp.zeros((1, h, h, 1))
+    v_pred = net.init(jax.random.PRNGKey(1), mf, mf, None, ds, ds,
+                      method=lambda m, a, b, c, e, f: m.predict_response(
+                          a, b, c, e, init_label=f))
+    params = {**variables["params"], **v_pred["params"]}
+    batch_stats = {**variables.get("batch_stats", {}),
+                   **v_pred.get("batch_stats", {})}
+    actor = make_kys_actor(net)
+
+    optimizer = optax.adam(optax.exponential_decay(
+        1e-4, max(len(loader), 1) * 30, 0.2, staircase=True))
+    mesh = make_mesh() if use_mesh and len(jax.devices()) > 1 else None
+    trainer = LTRTrainer(actor, [loader], optimizer, settings,
+                         settings.checkpoint_dir + "/kys/kys",
+                         params=params, batch_stats=batch_stats or None, mesh=mesh,
+                         print_interval=settings.print_interval)
+    trainer.train(max_epochs, load_latest=True, fail_safe=True)
+    return trainer

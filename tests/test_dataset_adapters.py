@@ -146,3 +146,84 @@ def test_vos_jf_measures():
     b = np.roll(a, 2, axis=0)
     assert 0.5 < binary_jaccard(a, b) < 1.0
     assert boundary_f_measure(a, np.zeros_like(a)) == 0.0
+
+
+def test_oxuva_adapter(tmp_path):
+    root = tmp_path / "oxuva"
+    os.makedirs(root / "tasks")
+    os.makedirs(root / "annotations")
+    # dev task: vid001/obj1 frames 0..2
+    with open(root / "tasks" / "dev.csv", "w") as f:
+        f.write("vid001,obj1,0,2,0.1,0.5,0.2,0.6\n")
+    with open(root / "annotations" / "dev.csv", "w") as f:
+        f.write("vid001,obj1,1,person,False,True,0,present,0.1,0.5,0.2,0.6\n")
+        f.write("vid001,obj1,1,person,False,True,2,present,0.2,0.6,0.3,0.7\n")
+    for t in range(3):
+        _img(str(root / "images" / "dev" / "vid001" / f"{t:06d}.jpeg"))
+    _reset_env(tmp_path, oxuva_path=root)
+    from pytracking_tpu.evaluation.adapters.oxuva import OxUvADataset
+    seqs = OxUvADataset(split="dev").get_sequence_list()
+    assert len(seqs) == 1
+    gt = seqs[0].ground_truth_rect
+    assert gt.shape == (3, 4)
+    assert np.all(gt[1] == -1)          # unannotated frame
+    assert gt[0][0] == 0.1 * 32          # xmin * width
+
+
+def test_lagot_adapter_multiobj(tmp_path):
+    lasot_root = tmp_path / "lasot"
+    lagot_root = tmp_path / "lagot"
+    os.makedirs(lagot_root)
+    frames = [f"seq/img/{i:08d}.jpg" for i in range(1, 4)]
+    for fp in frames:
+        _img(str(lasot_root / fp))
+    anno = {"seq1": {"frames": frames,
+                     "xywh": {"1": [[1, 2, 3, 4]] * 3, "2": [[5, 6, 7, 8]] * 3}}}
+    with open(lagot_root / "LaGOT_multiple_object_per_sequence_annotations_final.json",
+              "w") as f:
+        json.dump(anno, f)
+    _reset_env(tmp_path, lasot_path=lasot_root, lagot_path=lagot_root)
+    from pytracking_tpu.evaluation.adapters.lagot import LaGOTDataset
+    seqs = LaGOTDataset(sot_mode=False).get_sequence_list()
+    assert len(seqs) == 1
+    assert seqs[0].multiobj_mode
+    assert set(seqs[0].object_ids) == {"1", "2"}
+    assert set(seqs[0].init_data[0]["object_ids"]) == {"1", "2"}
+
+
+def test_mobiface_adapter(tmp_path):
+    root = tmp_path / "mobiface"
+    os.makedirs(root / "train" / "faceA")
+    with open(root / "train.meta.csv", "w") as f:
+        f.write("name,fps\nfaceA,30\n")
+    with open(root / "test.meta.csv", "w") as f:
+        f.write("name,fps\n")
+    for i in range(3):
+        _img(str(root / "train" / "faceA" / f"{i:04d}.jpg"))
+    np.savetxt(root / "train" / "faceA.annot.csv",
+               np.c_[np.arange(3), np.tile([1, 2, 3, 4], (3, 1))], delimiter=",",
+               fmt="%d", header="frame,x,y,w,h")
+    _reset_env(tmp_path, mobiface_path=root)
+    from pytracking_tpu.evaluation.adapters.mobiface import MobifaceDataset
+    seqs = MobifaceDataset(split="train").get_sequence_list()
+    assert len(seqs) == 1
+    assert seqs[0].ground_truth_rect.shape == (3, 4)
+
+
+def test_attribute_specs_and_filter(tmp_path):
+    spec = {"att_name_long": ["Fast Motion", "Occlusion"],
+            "att_name_short": ["FM", "OCC"],
+            "SeqA": ["FM"], "SeqB": ["OCC", "FM"], "SeqC": []}
+    spec_dir = tmp_path / "specs"
+    os.makedirs(spec_dir)
+    with open(spec_dir / "otb_attributes.json", "w") as f:
+        json.dump(spec, f)
+    _reset_env(tmp_path, attribute_specs_path=spec_dir)
+    import pytracking_tpu.evaluation.attribute_specs as asp
+    asp._cache.clear()
+    assert asp.attribute_names("otb") == ["FM", "OCC"]
+    assert asp.sequence_attributes("otb", "SeqB") == ["OCC", "FM"]
+    kept = asp.filter_names_by_attribute("otb", ["SeqA", "SeqB", "SeqC"],
+                                         "Occlusion")
+    assert kept == ["SeqB"]
+    asp._cache.clear()

@@ -95,3 +95,47 @@ def test_lwl_tracker_end_to_end():
     merged = tracker.merge_results({"1": out})
     assert merged["segmentation"].shape == (H, W)
     assert "1" in merged["segmentation_raw"]
+
+
+def test_sta_net_forward():
+    import jax
+    import jax.numpy as jnp
+
+    from pytracking_tpu.models.backbones.resnet import ResNet
+    from pytracking_tpu.models.classifier.features import ResidualBasicBlock
+    from pytracking_tpu.models.lwl.decoder import LWTLDecoder
+    from pytracking_tpu.models.lwl.label_encoder import (ResidualDS16FeatSWBox,
+                                                         ResidualDS16SW)
+    from pytracking_tpu.models.lwl.linear_filter import LWLLinearFilter
+    from pytracking_tpu.models.lwl.sta_net import STANet
+
+    import math
+    d, K = 32, 4
+    backbone = ResNet(block="basic", layers=(1, 1, 1, 1),
+                      output_layers=("layer1", "layer2", "layer3", "layer4"),
+                      base_width=8)
+    tm_feat = ResidualBasicBlock(feature_dim=32, num_blocks=1, l2norm=True,
+                                 final_conv=False, norm_scale=math.sqrt(1 / (d * 9)),
+                                 out_dim=d)
+
+    def make_tm():
+        return LWLLinearFilter(filter_size=3, num_filters=K, feature_dim=d,
+                               num_iter=2, feature_extractor=tm_feat)
+
+    net = STANet(
+        feature_extractor=backbone, target_model=make_tm(),
+        target_model_segm=make_tm(),
+        decoder=LWTLDecoder(in_channels=2 * K, out_channels=8,
+                            ft_layers=("layer4", "layer3", "layer2", "layer1")),
+        label_encoder=ResidualDS16FeatSWBox(layer_dims=(4, 8, 16, 16, K)),
+        bbox_encoder=ResidualDS16FeatSWBox(layer_dims=(4, 8, 16, 16, K)),
+        segm_encoder=ResidualDS16SW(layer_dims=(4, 8, 16, K)))
+
+    H = 64
+    imgs = jnp.zeros((1, 1, H, H, 3))
+    bb = jnp.array([[[16.0, 16.0, 24.0, 24.0]]])
+    variables = net.init(jax.random.PRNGKey(0), imgs, bb, train=False)
+    coarse, refined = net.apply(variables, imgs, bb, train=False)
+    assert coarse.shape == (1, 1, H, H)
+    assert refined.shape == (1, 1, H, H)
+    assert bool(jnp.all(jnp.isfinite(coarse))) and bool(jnp.all(jnp.isfinite(refined)))
