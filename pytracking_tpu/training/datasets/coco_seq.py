@@ -44,6 +44,28 @@ class MSCOCOSeq(BaseImageDataset):
         valid = np.array([bbox[0, 2] > 0 and bbox[0, 3] > 0])
         return {"bbox": bbox, "valid": valid, "visible": valid.copy()}
 
+    def has_segmentation_info(self):
+        return True
+
+    def _poly_mask(self, a, shape):
+        """Rasterize COCO polygon segmentation without pycocotools (PIL polygon
+        fill); RLE segmentations fall back to the bbox rectangle."""
+        seg = a.get("segmentation")
+        m = np.zeros(shape[:2], np.float32)
+        if isinstance(seg, list) and seg and isinstance(seg[0], list):
+            from PIL import Image, ImageDraw
+            img = Image.new("L", (shape[1], shape[0]), 0)
+            draw = ImageDraw.Draw(img)
+            for poly in seg:
+                if len(poly) >= 6:
+                    draw.polygon([tuple(p) for p in
+                                  np.asarray(poly).reshape(-1, 2)], fill=1)
+            m = np.asarray(img, np.float32)
+        else:
+            x, y, w, h = [int(v) for v in a["bbox"]]
+            m[y:y + max(h, 1), x:x + max(w, 1)] = 1.0
+        return m
+
     def get_frames(self, seq_id: int, frame_ids, anno=None):
         a = self.sequence_list[seq_id]
         im_info = self.img_info[a["image_id"]]
@@ -52,5 +74,7 @@ class MSCOCOSeq(BaseImageDataset):
         if anno is None:
             anno = self.get_sequence_info(seq_id)
         frame_anno = {k: [v[0] for _ in frame_ids] for k, v in anno.items()}
+        mask = self._poly_mask(a, img.shape)
+        frame_anno["mask"] = [mask for _ in frame_ids]
         return frames, frame_anno, {
             "object_class_name": self.cats.get(a.get("category_id"))}
