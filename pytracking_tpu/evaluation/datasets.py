@@ -65,19 +65,35 @@ dataset_dict = dict(
 )
 
 
-def load_dataset(name: str):
+def load_dataset(name: str, **kwargs):
     """Import and build a single dataset (reference datasets.py:56-66)."""
     name = name.lower()
     if name not in dataset_dict:
         raise ValueError(f"Unknown dataset '{name}'")
     info = dataset_dict[name]
     m = importlib.import_module(info.module)
-    return getattr(m, info.class_name)(**info.kwargs).get_sequence_list()
+    return getattr(m, info.class_name)(**{**info.kwargs,
+                                          **kwargs}).get_sequence_list()
 
 
-def get_dataset(*args) -> SequenceList:
-    """Concatenate one or more datasets by name (reference datasets.py:69-75)."""
+def get_dataset(*args, **kwargs) -> SequenceList:
+    """Concatenate one or more datasets by name (reference datasets.py:69-75).
+    Extra kwargs (e.g. attribute=...) pass through to the dataset constructors."""
     dset = SequenceList()
     for name in args:
-        dset.extend(load_dataset(name))
+        dset.extend(load_dataset(name, **kwargs))
     return dset
+
+
+def get_dataset_attributes(name: str, mode: str = "short", **kwargs):
+    """Split a dataset into per-attribute sub-datasets (reference
+    datasets.py:75-85): {attribute: SequenceList}. Datasets without attribute
+    support return {name: full dataset}."""
+    info = dataset_dict[name.lower()]
+    m = importlib.import_module(info.module)
+    cls = getattr(m, info.class_name)
+    ds = cls(**{**info.kwargs, **kwargs})
+    if not hasattr(ds, "get_attribute_names") or not ds.get_attribute_names(mode):
+        return {name: get_dataset(name)}
+    return {att: get_dataset(name, attribute=att)
+            for att in ds.get_attribute_names(mode)}

@@ -22,7 +22,9 @@ def parameters() -> TrackerSpec:
     if os.path.isfile(ckpt + ".json"):
         net, variables = load_network(ckpt)
     else:
-        Hs, Ws = params.image_sample_size
+        # the net is fully convolutional — init at a small size (identical params,
+        # avoids compiling the full-res training forward just to initialize)
+        Hs, Ws = 128, 128
         example = (jnp.zeros((1, 1, Hs, Ws, 3)), jnp.zeros((1, 1, Hs, Ws, 3)),
                    jnp.zeros((1, 1, Hs, Ws)))
         variables = load_or_init_variables(

@@ -20,10 +20,11 @@ def parameters() -> TrackerSpec:
     if os.path.isfile(ckpt + ".json"):
         net, variables = load_network(ckpt)
     else:
-        Hs, Ws = params.image_sample_size
+        # fully convolutional — init small (identical params, fast CPU init)
+        Hs, Ws = 128, 128
         example = (jnp.zeros((1, 1, Hs, Ws, 3)), jnp.zeros((1, 1, Hs, Ws, 3)),
                    jnp.zeros((1, 1, Hs, Ws)),
-                   jnp.array([[[100.0, 100.0, 50.0, 50.0]]]))
+                   jnp.array([[[30.0, 30.0, 50.0, 50.0]]]))
         variables = load_or_init_variables(
             net, example,
             cache_path=os.path.join(env.network_path, "rts50_init.msgpack"))

@@ -197,8 +197,11 @@ class LWLTracker(BaseTracker):
         prev_prob = prev.get("segmentation_raw")
         if prev_prob is not None and isinstance(prev_prob, dict):
             prev_prob = prev_prob[self.object_id]
-        if prev_prob is None:
-            prev_prob = self.state.seg_raw  # init fallback: the 0/1 GT mask
+        if prev_prob is None or self.object_id is None:
+            # single-object: state.seg_raw on device IS last frame's probability map
+            # (identical to the harness-threaded previous_output) — avoids a
+            # full-image host->device round trip per frame
+            prev_prob = self.state.seg_raw
         prev_prob = jnp.asarray(prev_prob, jnp.float32)
 
         self.state, out = self._jit_track(self.state, im, prev_prob)
@@ -219,11 +222,12 @@ class LWLTracker(BaseTracker):
 
         # ---- update target model with the previous frame's merged mask (lwl.py:118-131)
         if p.update_target_model:
+            # probabilities are continuous — the separable matmul resample path is
+            # both exact enough and ~100x faster on TPU than the nearest gather
             prev_crop, _ = sample_patch(prev_prob_im[..., None], state.prev_pos,
                                         state.prev_scale * support, (Hs, Ws),
                                         mode=p.border_mode,
-                                        max_scale_change=p.patch_max_scale_change,
-                                        is_mask=True)
+                                        max_scale_change=p.patch_max_scale_change)
             do = state.frame_num > 2
             state = self._update_memory(state, state.prev_test_x[0], prev_crop[..., 0],
                                         p.learning_rate, do)
@@ -254,18 +258,26 @@ class LWLTracker(BaseTracker):
         state = state.replace(prev_pos=state.pos, prev_scale=state.target_scale,
                               prev_test_x=test_x)
 
-        # ---- paste crop scores to image (inverse warp, reference :330-360)
+        # ---- paste crop scores to image (inverse warp, reference :330-360).
+        # The warp is axis-separable, so it is two MXU matmuls R_y·crop·R_xᵀ instead
+        # of an (H·W)-sized gather (pathological on TPU).
+        from pytracking_tpu.ops.patch import _resample_weights
+
         H, W = im.shape[0], im.shape[1]
-        yy = jnp.arange(H, dtype=jnp.float32)[:, None]
-        xx = jnp.arange(W, dtype=jnp.float32)[None, :]
+        yy = jnp.arange(H, dtype=jnp.float32)
+        xx = jnp.arange(W, dtype=jnp.float32)
         tl = coords[:2]
         sz = coords[2:] - coords[:2]
-        cy = (yy - tl[0]) * Hs / sz[0] - 0.5
+        cy = (yy - tl[0]) * Hs / sz[0] - 0.5            # crop row coord per image row
         cx = (xx - tl[1]) * Ws / sz[1] - 0.5
-        cyb = jnp.broadcast_to(cy, (H, W))
-        cxb = jnp.broadcast_to(cx, (H, W))
-        vals = bilinear_sample(seg_crop[..., None], cyb, cxb)[..., 0]
-        inside = (cyb >= -0.5) & (cyb <= Hs - 0.5) & (cxb >= -0.5) & (cxb <= Ws - 0.5)
+        ry = _resample_weights(cy, Hs, jnp.asarray(1.0))        # (H, Hs)
+        rx = _resample_weights(cx, Ws, jnp.asarray(1.0))        # (W, Ws)
+        vals = jnp.einsum("ih,hw->iw", ry, seg_crop,
+                          preferred_element_type=jnp.float32)
+        vals = jnp.einsum("jw,iw->ij", rx, vals,
+                          preferred_element_type=jnp.float32)
+        inside = ((cy >= -0.5) & (cy <= Hs - 0.5))[:, None] & \
+            ((cx >= -0.5) & (cx <= Ws - 0.5))[None, :]
         seg_raw_im = jnp.where(inside, vals, -100.0)
 
         prob_im = jax.nn.sigmoid(seg_raw_im)

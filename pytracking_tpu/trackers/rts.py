@@ -154,9 +154,10 @@ class RTSTracker(LWLTracker):
 
         # ---- mask-branch model update from the previous merged mask (as LWL)
         if p.update_target_model:
+            # continuous probabilities: matmul resample path (MXU) not nearest gather
             prev_crop, _ = sample_patch(prev_prob_im[..., None], state.prev_pos,
                                         state.prev_scale * support, (Hs, Ws),
-                                        mode=p.border_mode, is_mask=True)
+                                        mode=p.border_mode)
             do = (state.frame_num > 2) & (state.lost_counter == 0)
             state = self._update_memory(state, state.prev_test_x[0], prev_crop[..., 0],
                                         p.learning_rate, do)
@@ -213,20 +214,25 @@ class RTSTracker(LWLTracker):
         now_found = jnp.where(state.lost_counter > 0, refound, found)
         lost_counter = jnp.where(now_found, 0, state.lost_counter + 1)
 
-        # ---- paste crop scores into the full image (inverse warp, as LWL)
-        from pytracking_tpu.ops.patch import bilinear_sample
+        # ---- paste crop scores into the full image (inverse warp, as LWL):
+        # separable — two MXU matmuls R_y·crop·R_xᵀ instead of an image-sized gather
+        from pytracking_tpu.ops.patch import _resample_weights
 
         H, W = im.shape[0], im.shape[1]
-        yy = jnp.arange(H, dtype=jnp.float32)[:, None]
-        xx = jnp.arange(W, dtype=jnp.float32)[None, :]
+        yy = jnp.arange(H, dtype=jnp.float32)
+        xx = jnp.arange(W, dtype=jnp.float32)
         tl = coords[:2]
         szc = coords[2:] - coords[:2]
         cy = (yy - tl[0]) * Hs / szc[0] - 0.5
         cx = (xx - tl[1]) * Ws / szc[1] - 0.5
-        cyb = jnp.broadcast_to(cy, (H, W))
-        cxb = jnp.broadcast_to(cx, (H, W))
-        vals = bilinear_sample(seg_crop[..., None], cyb, cxb)[..., 0]
-        inside = (cyb >= -0.5) & (cyb <= Hs - 0.5) & (cxb >= -0.5) & (cxb <= Ws - 0.5)
+        ry = _resample_weights(cy, Hs, jnp.asarray(1.0))
+        rx = _resample_weights(cx, Ws, jnp.asarray(1.0))
+        vals = jnp.einsum("ih,hw->iw", ry, seg_crop,
+                          preferred_element_type=jnp.float32)
+        vals = jnp.einsum("jw,iw->ij", rx, vals,
+                          preferred_element_type=jnp.float32)
+        inside = ((cy >= -0.5) & (cy <= Hs - 0.5))[:, None] & \
+            ((cx >= -0.5) & (cx <= Ws - 0.5))[None, :]
         seg_raw_im = jnp.where(inside & now_found, vals, -100.0)
 
         prob_im = jax.nn.sigmoid(seg_raw_im)

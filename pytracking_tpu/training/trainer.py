@@ -127,6 +127,30 @@ class LTRTrainer(BaseTrainer):
         self.print_interval = print_interval
         self._train_step = make_train_step(actor, optimizer)
         self.stats: Dict[str, Dict[str, AverageMeter]] = {}
+        self._tb_writers: Dict[str, object] = {}
+
+    def _tb_writer(self, loader_name: str):
+        """One TensorBoard SummaryWriter per loader (reference
+        ltr/admin/tensorboard.py:10-26); falls back to a JSONL stats log when
+        tensorboardX is unavailable."""
+        if loader_name not in self._tb_writers:
+            import os
+            log_dir = os.path.join(self._checkpoint_dir, "tensorboard", loader_name)
+            os.makedirs(log_dir, exist_ok=True)
+            try:
+                from tensorboardX import SummaryWriter
+                self._tb_writers[loader_name] = SummaryWriter(log_dir)
+            except Exception:
+                self._tb_writers[loader_name] = _JsonlWriter(
+                    os.path.join(log_dir, "stats.jsonl"))
+        return self._tb_writers[loader_name]
+
+    def _write_epoch_stats(self):
+        """Epoch-averaged scalars per loader (reference ltr_trainer.py:150-152)."""
+        for name, meters in self.stats.items():
+            w = self._tb_writer(name)
+            for k, m in meters.items():
+                w.add_scalar(k, m.avg, self.epoch)
 
     def _state_dict(self):
         return {"params": self.params, "batch_stats": self.batch_stats or {},
@@ -180,3 +204,17 @@ class LTRTrainer(BaseTrainer):
                 for m in self.stats.get(loader.name, {}).values():
                     m.reset()
                 self.cycle_dataset(loader)
+        self._write_epoch_stats()
+
+
+class _JsonlWriter:
+    """Fallback scalar writer: one JSON line per (tag, value, step)."""
+
+    def __init__(self, path: str):
+        self.path = path
+
+    def add_scalar(self, tag, value, step):
+        import json
+
+        with open(self.path, "a") as f:
+            f.write(json.dumps({"tag": tag, "value": value, "step": step}) + "\n")

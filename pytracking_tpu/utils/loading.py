@@ -54,7 +54,19 @@ def load_network(path: str, **kwarg_overrides) -> Tuple[Any, Any]:
 
 
 def init_variables(net, example_inputs, seed: int = 0):
-    """Initialize flax variables with a representative forward."""
+    """Initialize flax variables with a representative forward.
+
+    Runs on the CPU backend: init is one-time shape/param materialization, and
+    compiling a full training forward through a remote TPU compile service just to
+    initialize (e.g. LWL at 480x832 took ~9 min through the axon tunnel) is pure
+    waste. Parameter values depend only on the RNG, not the device."""
+    try:
+        cpu = jax.devices("cpu")[0]
+    except RuntimeError:
+        cpu = None
+    if cpu is not None:
+        with jax.default_device(cpu):
+            return net.init(jax.random.PRNGKey(seed), *example_inputs, train=False)
     return net.init(jax.random.PRNGKey(seed), *example_inputs, train=False)
 
 

@@ -227,3 +227,25 @@ def test_attribute_specs_and_filter(tmp_path):
                                          "Occlusion")
     assert kept == ["SeqB"]
     asp._cache.clear()
+
+
+def test_get_dataset_attributes(tmp_path):
+    spec = {"att_name_long": ["Fast Motion"], "att_name_short": ["FM"],
+            "Basketball": ["FM"]}
+    root = tmp_path / "otb"
+    for i in range(1, 3):
+        _img(str(root / "Basketball" / "img" / f"{i:04d}.jpg"))
+    np.savetxt(root / "Basketball" / "groundtruth_rect.txt",
+               np.tile([10, 10, 5, 5], (2, 1)), delimiter=",", fmt="%d")
+    spec_dir = tmp_path / "specs"
+    os.makedirs(spec_dir)
+    with open(spec_dir / "otb_attributes.json", "w") as f:
+        json.dump(spec, f)
+    _reset_env(tmp_path, otb_path=root, attribute_specs_path=spec_dir)
+    import pytracking_tpu.evaluation.attribute_specs as asp
+    asp._cache.clear()
+    from pytracking_tpu.evaluation.datasets import get_dataset_attributes
+    by_attr = get_dataset_attributes("otb")
+    assert "FM" in by_attr
+    assert len(by_attr["FM"]) == 1
+    asp._cache.clear()
