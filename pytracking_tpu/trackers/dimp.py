@@ -151,7 +151,7 @@ class DiMPTracker(BaseTracker):
         self.net = net
         self.variables = variables
         self._jit_init = jax.jit(functools.partial(self._initialize_impl))
-        self._jit_track = jax.jit(functools.partial(self._track_impl))
+        self._jit_track = jax.jit(functools.partial(self._track_impl), donate_argnums=(0,))  # state buffers (inc. the ~33MB sample memory) are reused in place
         self.state: Optional[DiMPState] = None
         self._seed = 0
 

@@ -82,7 +82,7 @@ class TaMOsTracker(BaseTracker):
         self.net = net
         self.variables = variables
         self._jit_init = jax.jit(self._initialize_impl)
-        self._jit_track = jax.jit(self._track_impl)
+        self._jit_track = jax.jit(self._track_impl, donate_argnums=(0,))  # reuse state buffers in place
         self.state: Optional[TaMOsState] = None
         self.id_map: Dict[int, str] = {}
         self.mot_dataset = False

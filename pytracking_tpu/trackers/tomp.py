@@ -102,7 +102,7 @@ class ToMPTracker(BaseTracker):
         self.net = net
         self.variables = variables
         self._jit_init = jax.jit(self._initialize_impl)
-        self._jit_track = jax.jit(self._track_impl)
+        self._jit_track = jax.jit(self._track_impl, donate_argnums=(0,))  # reuse state buffers in place
         self.state: Optional[ToMPState] = None
         self._seed = 0
 
