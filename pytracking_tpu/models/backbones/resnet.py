@@ -13,7 +13,7 @@ tracking time. Weight porting from torchvision-style checkpoints transposes OIHW
 
 from __future__ import annotations
 
-from typing import Dict, Sequence, Tuple
+from typing import Any, Dict, Sequence, Tuple
 
 import flax.linen as nn
 import jax.numpy as jnp
@@ -24,24 +24,25 @@ class BasicBlock(nn.Module):
     stride: int = 1
     dilation: int = 1
     downsample: bool = False
+    dtype: Any = None          # compute dtype (params stay float32)
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         identity = x
         out = nn.Conv(self.planes, (3, 3), strides=(self.stride, self.stride),
                       padding=[(self.dilation, self.dilation)] * 2,
-                      kernel_dilation=(self.dilation, self.dilation), use_bias=False,
+                      kernel_dilation=(self.dilation, self.dilation), use_bias=False, dtype=self.dtype,
                       name="conv1")(x)
-        out = nn.BatchNorm(use_running_average=not train, momentum=0.9, name="bn1")(out)
+        out = nn.BatchNorm(use_running_average=not train, momentum=0.9, dtype=self.dtype, name="bn1")(out)
         out = nn.relu(out)
         out = nn.Conv(self.planes, (3, 3), padding=[(self.dilation, self.dilation)] * 2,
-                      kernel_dilation=(self.dilation, self.dilation), use_bias=False,
+                      kernel_dilation=(self.dilation, self.dilation), use_bias=False, dtype=self.dtype,
                       name="conv2")(out)
-        out = nn.BatchNorm(use_running_average=not train, momentum=0.9, name="bn2")(out)
+        out = nn.BatchNorm(use_running_average=not train, momentum=0.9, dtype=self.dtype, name="bn2")(out)
         if self.downsample:
             identity = nn.Conv(self.planes, (1, 1), strides=(self.stride, self.stride),
-                               use_bias=False, name="downsample_conv")(x)
-            identity = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                               use_bias=False, dtype=self.dtype, name="downsample_conv")(x)
+            identity = nn.BatchNorm(use_running_average=not train, momentum=0.9, dtype=self.dtype,
                                     name="downsample_bn")(identity)
         return nn.relu(out + identity)
 
@@ -52,26 +53,27 @@ class Bottleneck(nn.Module):
     dilation: int = 1
     downsample: bool = False
     expansion: int = 4
+    dtype: Any = None          # compute dtype (params stay float32)
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         identity = x
-        out = nn.Conv(self.planes, (1, 1), use_bias=False, name="conv1")(x)
-        out = nn.BatchNorm(use_running_average=not train, momentum=0.9, name="bn1")(out)
+        out = nn.Conv(self.planes, (1, 1), use_bias=False, dtype=self.dtype, name="conv1")(x)
+        out = nn.BatchNorm(use_running_average=not train, momentum=0.9, dtype=self.dtype, name="bn1")(out)
         out = nn.relu(out)
         out = nn.Conv(self.planes, (3, 3), strides=(self.stride, self.stride),
                       padding=[(self.dilation, self.dilation)] * 2,
-                      kernel_dilation=(self.dilation, self.dilation), use_bias=False,
+                      kernel_dilation=(self.dilation, self.dilation), use_bias=False, dtype=self.dtype,
                       name="conv2")(out)
-        out = nn.BatchNorm(use_running_average=not train, momentum=0.9, name="bn2")(out)
+        out = nn.BatchNorm(use_running_average=not train, momentum=0.9, dtype=self.dtype, name="bn2")(out)
         out = nn.relu(out)
-        out = nn.Conv(self.planes * self.expansion, (1, 1), use_bias=False, name="conv3")(out)
-        out = nn.BatchNorm(use_running_average=not train, momentum=0.9, name="bn3")(out)
+        out = nn.Conv(self.planes * self.expansion, (1, 1), use_bias=False, dtype=self.dtype, name="conv3")(out)
+        out = nn.BatchNorm(use_running_average=not train, momentum=0.9, dtype=self.dtype, name="bn3")(out)
         if self.downsample:
             identity = nn.Conv(self.planes * self.expansion, (1, 1),
-                               strides=(self.stride, self.stride), use_bias=False,
+                               strides=(self.stride, self.stride), use_bias=False, dtype=self.dtype,
                                name="downsample_conv")(x)
-            identity = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+            identity = nn.BatchNorm(use_running_average=not train, momentum=0.9, dtype=self.dtype,
                                     name="downsample_bn")(identity)
         return nn.relu(out + identity)
 
@@ -91,16 +93,21 @@ class ResNet(nn.Module):
     output_layers: Tuple[str, ...] = ("layer2", "layer3")
     dilation_factor: int = 1
     base_width: int = 64
+    dtype: Any = None
+    # compute dtype for convs/BN (e.g. jnp.bfloat16: halves HBM traffic + doubles MXU
+    # rate on TPU); parameters remain float32, outputs are cast back to float32
 
     @nn.compact
     def __call__(self, x, train: bool = False) -> Dict[str, jnp.ndarray]:
         Block = BasicBlock if self.block == "basic" else Bottleneck
         expansion = 1 if self.block == "basic" else 4
         outputs = {}
+        if self.dtype is not None:
+            x = x.astype(self.dtype)
 
         x = nn.Conv(64, (7, 7), strides=(2, 2), padding=[(3, 3), (3, 3)],
-                    use_bias=False, name="conv1")(x)
-        x = nn.BatchNorm(use_running_average=not train, momentum=0.9, name="bn1")(x)
+                    use_bias=False, dtype=self.dtype, name="conv1")(x)
+        x = nn.BatchNorm(use_running_average=not train, momentum=0.9, dtype=self.dtype, name="bn1")(x)
         x = nn.relu(x)
         if "conv1" in self.output_layers:
             outputs["conv1"] = x
@@ -123,30 +130,35 @@ class ResNet(nn.Module):
                 stride = strides[stage] if b == 0 else 1
                 need_ds = (b == 0) and (stride != 1 or in_ch != planes[stage] * expansion)
                 x = Block(planes[stage], stride=stride, dilation=dilations[stage],
-                          downsample=need_ds, name=f"layer{stage + 1}_{b}")(x, train=train)
+                          downsample=need_ds, dtype=self.dtype,
+                          name=f"layer{stage + 1}_{b}")(x, train=train)
                 in_ch = planes[stage] * expansion
             name = f"layer{stage + 1}"
             if name in self.output_layers:
                 outputs[name] = x
+        if self.dtype is not None:
+            outputs = {k: v.astype(jnp.float32) for k, v in outputs.items()}
         return outputs
 
 
-def resnet18(output_layers=("layer2", "layer3"), dilation_factor=1) -> ResNet:
+def resnet18(output_layers=("layer2", "layer3"), dilation_factor=1, dtype=None) -> ResNet:
     """ResNet-18 (reference resnet.py:224)."""
     return ResNet(block="basic", layers=(2, 2, 2, 2), output_layers=tuple(output_layers),
-                  dilation_factor=dilation_factor)
+                  dilation_factor=dilation_factor, dtype=dtype)
 
 
-def resnet50(output_layers=("layer2", "layer3"), dilation_factor=1) -> ResNet:
+def resnet50(output_layers=("layer2", "layer3"), dilation_factor=1, dtype=None) -> ResNet:
     """ResNet-50 (reference resnet.py:264)."""
     return ResNet(block="bottleneck", layers=(3, 4, 6, 3),
-                  output_layers=tuple(output_layers), dilation_factor=dilation_factor)
+                  output_layers=tuple(output_layers), dilation_factor=dilation_factor,
+                  dtype=dtype)
 
 
-def resnet101(output_layers=("layer2", "layer3"), dilation_factor=1) -> ResNet:
+def resnet101(output_layers=("layer2", "layer3"), dilation_factor=1, dtype=None) -> ResNet:
     """ResNet-101 (for ToMP-101; reference resnet.py:284)."""
     return ResNet(block="bottleneck", layers=(3, 4, 23, 3),
-                  output_layers=tuple(output_layers), dilation_factor=dilation_factor)
+                  output_layers=tuple(output_layers), dilation_factor=dilation_factor,
+                  dtype=dtype)
 
 
 IMAGENET_MEAN = jnp.array([0.485, 0.456, 0.406], jnp.float32)

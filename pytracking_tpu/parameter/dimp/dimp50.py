@@ -46,7 +46,12 @@ def parameters() -> TrackerSpec:
 
     env = env_settings()
     ckpt = os.path.join(env.network_path, "dimp50.msgpack")
-    net = dimpnet50()
+    # optional bf16 backbone compute (PYTRACKING_TPU_BF16_BACKBONE=1). Measured on
+    # v5e: only ~17% faster than f32 (XLA already runs f32 convs with bf16 MXU
+    # passes) and needs bf16-cast params to avoid pathological per-step casts —
+    # default off.
+    bf16 = os.environ.get("PYTRACKING_TPU_BF16_BACKBONE", "0") == "1"
+    net = dimpnet50(backbone_dtype=jnp.bfloat16 if bf16 else None)
     if os.path.isfile(ckpt + ".json"):
         net, variables = load_network(ckpt)
     else:
