@@ -144,3 +144,19 @@ class MultiResolutionExtractor:
             lambda s: sample_patch(im, pos, s * base,
                                    (int(image_sz[0]), int(image_sz[1])))[0])(scales)
         return [f.get_feature(patches) for f in self.features]
+
+
+class SingleResolutionExtractor(MultiResolutionExtractor):
+    """All features share one stride (reference extractor.py:18-46): the per-scale
+    patches are extracted once and every feature's maps are concatenated."""
+
+    def stride(self) -> int:
+        return self.features[0].stride()
+
+    def size(self, input_sz):
+        s = self.stride()
+        return (int(input_sz[0]) // s, int(input_sz[1]) // s)
+
+    def extract(self, im, pos, scales, image_sz):
+        feats = super().extract(im, pos, scales, image_sz)
+        return jnp.concatenate(feats, axis=-1)

@@ -152,3 +152,26 @@ def test_coco_seq_polygon_mask(tmp_path):
     frames, anno, meta = ds.get_frames(0, [0])
     assert anno["mask"][0].sum() > 300          # ~21x21 square
     assert meta["object_class_name"] == "thing"
+
+
+def test_coco_mot_seq(tmp_path):
+    from pytracking_tpu.training.datasets.mot_datasets import MSCOCOMOTSeq
+
+    root = tmp_path / "coco2"
+    os.makedirs(root / "annotations", exist_ok=True)
+    _img(str(root / "train2017" / "img1.jpg"))
+    data = {"images": [{"id": 1, "file_name": "img1.jpg"}],
+            "annotations": [
+                {"id": 10, "image_id": 1, "bbox": [5, 5, 20, 20],
+                 "category_id": 1, "iscrowd": 0},
+                {"id": 11, "image_id": 1, "bbox": [25, 10, 15, 15],
+                 "category_id": 2, "iscrowd": 0}],
+            "categories": []}
+    with open(root / "annotations" / "instances_train2017.json", "w") as f:
+        json.dump(data, f)
+    ds = MSCOCOMOTSeq(str(root))
+    assert ds.get_num_sequences() == 1
+    info = ds.get_sequence_info(0)
+    assert info["num_tracks"] == 2
+    frames, anno, _ = ds.get_frames(0, [0])
+    assert set(anno["bbox"][0].keys()) == {"0", "1"}
