@@ -96,8 +96,10 @@ def _save_tracker_output(seq: Sequence, tracker, output: dict):
             from pytracking_tpu.utils.png_io import imwrite_indexed
             seg_dir = os.path.join(tracker.segmentation_dir, seq.name)
             os.makedirs(seg_dir, exist_ok=True)
-            for frame_path, seg in zip(seq.frames, data):
-                name = os.path.splitext(os.path.basename(frame_path))[0]
+            names = [os.path.splitext(os.path.basename(p))[0] for p in seq.frames]
+            if len(set(names)) != len(names):   # synthetic:// URIs collide
+                names = [f"{i:05d}" for i in range(len(seq.frames))]
+            for name, seg in zip(names, data):
                 imwrite_indexed(os.path.join(seg_dir, name + ".png"), seg)
 
 
@@ -135,7 +137,12 @@ def run_sequence(seq: Sequence, tracker, debug: int = 0,
         info = seq.init_info()
         prev_output = t.initialize(image, info) or {}
         init_time = time.time() - start
-        output["target_bbox"].append(info.get("init_bbox"))
+        init_bbox = info.get("init_bbox")
+        if seq.object_ids is not None and not isinstance(init_bbox, dict):
+            # multi-object outputs are per-object dicts — keep frame 0 homogeneous
+            init_bbox = {oid: init_bbox
+                         for oid in info.get("object_ids", seq.object_ids)}
+        output["target_bbox"].append(init_bbox)
         output["time"].append(init_time)
         if "segmentation" in prev_output:
             output["segmentation"].append(prev_output["segmentation"])

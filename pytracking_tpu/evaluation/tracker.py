@@ -60,10 +60,19 @@ class Tracker:
         return self._spec
 
     def create_tracker(self, multiobj: bool = False):
+        import os
+
         spec = self.get_parameters()
         kwargs = spec.tracker_kwargs or {}
         if multiobj and getattr(self.tracker_class, "multiobj_mode", "parallel") \
                 == "parallel":
+            # opt-in device-native multi-object path: one vmapped jitted step over
+            # the object axis (e.g. LWLMultiObjectTracker) — much faster on TPU,
+            # but requires all objects initialized in the first frame
+            vm_cls = getattr(self.tracker_class, "vmap_multiobj_class", None)
+            if vm_cls is not None and \
+                    os.environ.get("PYTRACKING_TPU_VMAP_MULTIOBJ", "0") == "1":
+                return vm_cls(spec.params, spec.net, spec.variables)
             from pytracking_tpu.evaluation.multi_object_wrapper import \
                 MultiObjectWrapper
             return MultiObjectWrapper(self.tracker_class, spec.params, spec.net,

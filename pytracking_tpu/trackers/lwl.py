@@ -399,3 +399,88 @@ class LWLTracker(BaseTracker):
 
 def get_tracker_class():
     return LWLTracker
+
+
+class LWLMultiObjectTracker:
+    """Device-native multi-object LWL: ALL objects tracked in ONE jitted step.
+
+    The reference's MultiObjectWrapper runs N tracker instances sequentially per
+    frame (multi_object_wrapper.py:103-180). Here the per-object `LWLState` pytrees
+    are STACKED on a leading object axis and the frame step is `vmap`ped over it, so
+    N objects cost one XLA execution whose batch dimension feeds the MXU; the
+    soft-aggregation merge (reference lwl.py:211-275) also runs on device, and the
+    aggregated per-object probabilities stay device-resident as the next frame's
+    previous-mask input. This is the 'per-object parallelism' TPU win called out in
+    SURVEY §2.
+    """
+
+    multiobj_mode = "vmap"
+
+    def __init__(self, params: LWLParams, net, variables):
+        self.params = params
+        self._impl = LWLTracker(params, net, variables)
+        self.states = None
+        self.object_ids: list = []
+        self._prev_probs = None
+
+        self._jit_init = jax.jit(jax.vmap(self._impl._initialize_impl,
+                                          in_axes=(None, 0, 0)))
+
+        def multi_step(states, im, prev_probs):
+            states, outs = jax.vmap(self._impl._track_impl,
+                                    in_axes=(0, None, 0))(states, im, prev_probs)
+            raw = outs["segmentation_raw"]                        # (O, H, W) logits
+            prob = jax.nn.sigmoid(raw)
+            eps = 1e-7
+            bg_p = jnp.clip(jnp.prod(1.0 - prob, axis=0), eps, 1 - eps)
+            bg_score = jnp.log(bg_p / (1.0 - bg_p))
+            all_scores = jnp.concatenate([bg_score[None], raw], axis=0)
+            # aggregated per-label probability = softmax over (bg + objects)
+            agg = jax.nn.softmax(all_scores, axis=0)
+            label = jnp.argmax(agg, axis=0).astype(jnp.uint8)     # 0 = background
+            return states, {"label": label, "agg_fg": agg[1:],
+                            "target_bbox": outs["target_bbox"]}
+
+        self._jit_step = jax.jit(multi_step, donate_argnums=(0,))
+
+    def initialize(self, image, info: Dict[str, Any]) -> dict:
+        im = jnp.asarray(image)
+        self.object_ids = [str(o) for o in (info.get("object_ids") or ["1"])]
+        masks_full = np.asarray(info["init_mask"])
+        masks, bboxes = [], []
+        for oid in self.object_ids:
+            m = (masks_full == int(oid)).astype(np.float32)
+            ys, xs = np.nonzero(m)
+            if len(ys):
+                bb = [xs.min(), ys.min(), xs.max() - xs.min() + 1,
+                      ys.max() - ys.min() + 1]
+            else:
+                bb = [0, 0, 1, 1]
+            masks.append(m)
+            bboxes.append(bb)
+        masks = jnp.asarray(np.stack(masks))
+        bboxes = jnp.asarray(np.asarray(bboxes, np.float32))
+        self.states = self._jit_init(im, bboxes, masks)
+        self._prev_probs = masks
+        return {"segmentation": np.asarray(masks_full, np.uint8)}
+
+    def track(self, image, info: Optional[dict] = None) -> dict:
+        im = jnp.asarray(image)
+        self.states, out = self._jit_step(self.states, im, self._prev_probs)
+        self._prev_probs = out["agg_fg"]
+
+        ids_all = np.array([0] + [int(o) for o in self.object_ids], np.uint8)
+        merged_seg = ids_all[np.asarray(out["label"])]
+        bboxes = np.asarray(out["target_bbox"])
+        agg = np.asarray(out["agg_fg"])
+        return {
+            "segmentation": merged_seg,
+            "segmentation_raw": OrderedDict(
+                (oid, agg[i]) for i, oid in enumerate(self.object_ids)),
+            "target_bbox": {oid: bboxes[i].tolist()
+                            for i, oid in enumerate(self.object_ids)},
+        }
+
+
+# opt-in device-native multi-object mode (PYTRACKING_TPU_VMAP_MULTIOBJ=1)
+LWLTracker.vmap_multiobj_class = LWLMultiObjectTracker

@@ -139,3 +139,39 @@ def test_sta_net_forward():
     assert coarse.shape == (1, 1, H, H)
     assert refined.shape == (1, 1, H, H)
     assert bool(jnp.all(jnp.isfinite(coarse))) and bool(jnp.all(jnp.isfinite(refined)))
+
+
+def test_lwl_vmapped_multiobject():
+    import jax
+    import numpy as np
+
+    from pytracking_tpu.trackers.lwl import LWLMultiObjectTracker, LWLParams
+
+    net = tiny_lwl_net()
+    H = W = 96
+    dummy = __import__("jax.numpy", fromlist=["zeros"]).zeros((1, 1, 64, 64, 3))
+    import jax.numpy as jnp
+    variables = net.init(jax.random.PRNGKey(0), jnp.zeros((1, 1, 64, 64, 3)),
+                         jnp.zeros((1, 1, 64, 64, 3)), jnp.zeros((1, 1, 64, 64)),
+                         num_refinement_iter=0, train=False)
+    params = LWLParams(image_sample_size=(64, 64), sample_memory_size=4,
+                       net_opt_iter=2, net_opt_update_iter=1)
+    tracker = LWLMultiObjectTracker(params, net, variables)
+
+    frame = np.full((H, W, 3), 40, np.float32)
+    frame[20:40, 20:40] = 220.0
+    frame[60:80, 50:70] = 120.0
+    masks = np.zeros((H, W), np.uint8)
+    masks[20:40, 20:40] = 1
+    masks[60:80, 50:70] = 2
+    tracker.initialize(frame, {"init_mask": masks, "object_ids": ["1", "2"]})
+    for _ in range(3):
+        out = tracker.track(frame)
+    assert out["segmentation"].shape == (H, W)
+    assert set(out["target_bbox"].keys()) == {"1", "2"}
+    assert set(out["segmentation_raw"].keys()) == {"1", "2"}
+    # merged label map only contains known ids
+    assert set(np.unique(out["segmentation"])) <= {0, 1, 2}
+    for oid in ("1", "2"):
+        bb = out["target_bbox"][oid]
+        assert len(bb) == 4 and all(np.isfinite(bb))
