@@ -73,13 +73,23 @@ def main():
     frame_stack = jax.device_put(
         jnp.stack([jnp.asarray(f) for f in frames[24:]]))
     jax.block_until_ready(frame_stack)
-    step = jax.jit(
-        lambda st, fs: jax.lax.scan(tracker._track_impl, st, fs))
-    state, outs = step(tracker.state, frame_stack)
+
+    def scan_fn(variables, st, fs):
+        # variables as a jit ARGUMENT (not closure) — closed-over params would be
+        # baked into the HLO as hundreds of MB of literal constants
+        prev = tracker.variables
+        tracker.variables = variables
+        try:
+            return jax.lax.scan(tracker._track_impl, st, fs)
+        finally:
+            tracker.variables = prev
+
+    step = jax.jit(scan_fn)
+    state, outs = step(tracker.variables, tracker.state, frame_stack)
     jax.block_until_ready((state, outs))
     n_steps = frame_stack.shape[0]
     t0 = time.time()
-    state, outs = step(state, frame_stack)
+    state, outs = step(tracker.variables, state, frame_stack)
     jax.block_until_ready((state, outs))
     elapsed = time.time() - t0
     fps = n_steps / elapsed

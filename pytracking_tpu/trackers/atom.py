@@ -165,7 +165,10 @@ class ATOMTracker(BaseTracker):
     def __init__(self, params: ATOMParams, net, variables):
         super().__init__(params)
         self.net = net
-        self.variables = variables
+        # device_put ONCE: variables may arrive host/CPU-resident (CPU-side init,
+        # msgpack load) — passing host arrays to a jitted call re-uploads them per
+        # frame (~100MB through the axon tunnel)
+        self.variables = jax.device_put(variables)
         self.state: Optional[ATOMState] = None
         self._seed = 0
         self._jit_cache: Dict = {}
@@ -245,10 +248,11 @@ class ATOMTracker(BaseTracker):
 
         fn = self._jit_cache.get(("init", im.shape, sample_sz))
         if fn is None:
-            fn = jax.jit(functools.partial(self._initialize_impl,
-                                           sample_sz=sample_sz))
+            fn = self._jit_with_variables(
+                functools.partial(self._initialize_impl, sample_sz=sample_sz))
             self._jit_cache[("init", im.shape, sample_sz)] = fn
-        self.state = fn(im, jnp.asarray(bbox), jnp.asarray(target_scale), key)
+        self.state = fn(self.variables, im, jnp.asarray(bbox),
+                        jnp.asarray(target_scale), key)
         return {}
 
     def _initialize_impl(self, im, bbox, target_scale, key, *, sample_sz: int
@@ -388,10 +392,10 @@ class ATOMTracker(BaseTracker):
         im = jnp.asarray(image)
         fn = self._jit_cache.get(("track", im.shape, self._sample_sz))
         if fn is None:
-            fn = jax.jit(functools.partial(self._track_impl,
-                                           sample_sz=self._sample_sz))
+            fn = self._jit_with_variables(
+                functools.partial(self._track_impl, sample_sz=self._sample_sz))
             self._jit_cache[("track", im.shape, self._sample_sz)] = fn
-        self.state, out = fn(self.state, im)
+        self.state, out = fn(self.variables, self.state, im)
         return out
 
     def fetch_output(self, out) -> dict:

@@ -25,6 +25,30 @@ class BaseTracker:
         self.params = params
         self.visdom = None
 
+    def _jit_with_variables(self, impl, donate_state: bool = False):
+        """jit an impl method with the network variables passed as the FIRST argument
+        instead of closed over via `self.variables`.
+
+        Closing over the variables bakes every parameter into the compiled program as
+        a literal constant — for a ResNet-50-sized net that is a multi-hundred-MB HLO
+        (slow compiles, duplicated per jitted function, and over the axon remote
+        compile service's request size limit). During tracing, `self.variables` is
+        temporarily rebound to the tracer pytree so all helper methods route through
+        the jit argument."""
+        import jax
+
+        tracker = self
+
+        def wrapped(variables, *args):
+            prev = tracker.variables
+            tracker.variables = variables
+            try:
+                return impl(*args)
+            finally:
+                tracker.variables = prev
+
+        return jax.jit(wrapped, donate_argnums=(1,) if donate_state else ())
+
     def initialize(self, image, info: Dict[str, Any]) -> Optional[dict]:
         raise NotImplementedError
 

@@ -149,9 +149,12 @@ class DiMPTracker(BaseTracker):
     def __init__(self, params: DiMPParams, net, variables):
         super().__init__(params)
         self.net = net
-        self.variables = variables
-        self._jit_init = jax.jit(functools.partial(self._initialize_impl))
-        self._jit_track = jax.jit(functools.partial(self._track_impl), donate_argnums=(0,))  # state buffers (inc. the ~33MB sample memory) are reused in place
+        # device_put ONCE: variables may arrive host/CPU-resident (CPU-side init,
+        # msgpack load) — passing host arrays to a jitted call re-uploads them per
+        # frame (~100MB through the axon tunnel)
+        self.variables = jax.device_put(variables)
+        self._jit_init = self._jit_with_variables(self._initialize_impl)
+        self._jit_track = self._jit_with_variables(self._track_impl, donate_state=True)  # state buffers (inc. the ~33MB sample memory) are reused in place
         self.state: Optional[DiMPState] = None
         self._seed = 0
 
@@ -221,7 +224,7 @@ class DiMPTracker(BaseTracker):
         key = jax.random.PRNGKey(self._seed)
         # static host-side randomness for augmentation shifts (once per sequence)
         self._aug_rng = np.random.RandomState(self._seed)
-        self.state = self._jit_init(im, bbox, key)
+        self.state = self._jit_init(self.variables, im, bbox, key)
         return {}
 
     def _initialize_impl(self, im, bbox, key) -> DiMPState:
@@ -310,7 +313,7 @@ class DiMPTracker(BaseTracker):
         """Upload the frame (uint8 — 3x less tunnel traffic than float32) and enqueue
         the jitted step; returns un-materialized device outputs."""
         im = jnp.asarray(image)
-        self.state, out = self._jit_track(self.state, im)
+        self.state, out = self._jit_track(self.variables, self.state, im)
         return out
 
     def fetch_output(self, out) -> dict:

@@ -107,7 +107,10 @@ class ECOTracker(BaseTracker):
     def __init__(self, params: ECOParams, net, variables):
         super().__init__(params)
         self.net = net            # backbone providing 'conv1' and 'layer3'
-        self.variables = variables
+        # device_put ONCE: variables may arrive host/CPU-resident (CPU-side init,
+        # msgpack load) — passing host arrays to a jitted call re-uploads them per
+        # frame (~100MB through the axon tunnel)
+        self.variables = jax.device_put(variables)
         self.state: Optional[ECOState] = None
         self._jit_cache: Dict = {}
         self._seed = 0
@@ -246,12 +249,13 @@ class ECOTracker(BaseTracker):
 
         fn = self._jit_cache.get(("init", im.shape, sample_sz))
         if fn is None:
-            fn = jax.jit(functools.partial(self._initialize_impl, sample_sz=sample_sz,
-                                           feat_szs=tuple(feat_szs),
-                                           filt_szs=tuple(filt_szs)))
+            fn = self._jit_with_variables(
+                functools.partial(self._initialize_impl, sample_sz=sample_sz,
+                                  feat_szs=tuple(feat_szs),
+                                  filt_szs=tuple(filt_szs)))
             self._jit_cache[("init", im.shape, sample_sz)] = fn
-        self.state = fn(im, jnp.asarray(bbox), jnp.asarray(target_scale), key,
-                        yfs, reg_windows)
+        self.state = fn(self.variables, im, jnp.asarray(bbox),
+                        jnp.asarray(target_scale), key, yfs, reg_windows)
         return {}
 
     def _initialize_impl(self, im, bbox, target_scale, key, yfs, reg_windows, *,
@@ -354,11 +358,11 @@ class ECOTracker(BaseTracker):
         key = ("track", im.shape, self._sample_sz)
         fn = self._jit_cache.get(key)
         if fn is None:
-            fn = jax.jit(functools.partial(
+            fn = self._jit_with_variables(functools.partial(
                 self._track_impl, sample_sz=self._sample_sz,
                 feat_szs=tuple(self._feat_szs), filt_szs=tuple(self._filt_szs)))
             self._jit_cache[key] = fn
-        self.state, out = fn(self.state, im, self._static["yfs"],
+        self.state, out = fn(self.variables, self.state, im, self._static["yfs"],
                              self._static["reg_windows"])
         return {"target_bbox": np.asarray(out["target_bbox"]).tolist(),
                 "max_score": float(out["max_score"])}

@@ -162,9 +162,10 @@ class KeepTrackTracker(DiMPTracker):
                  tcm_variables=None):
         super().__init__(params, net, variables)
         self.tcm_net = tcm_net
-        self.tcm_variables = tcm_variables
-        self._jit_part1 = jax.jit(self._track_part1)
-        self._jit_part2 = jax.jit(self._track_part2)
+        self.tcm_variables = jax.device_put(tcm_variables) \
+            if tcm_variables is not None else None
+        self._jit_part1 = self._jit_with_variables(self._track_part1)
+        self._jit_part2 = self._jit_with_variables(self._track_part2)
         self.candidate_collection: Optional[CandidateCollection] = None
 
     # ---------------------------------------------------------------- tcm helpers
@@ -205,7 +206,7 @@ class KeepTrackTracker(DiMPTracker):
     def track(self, image, info: Optional[dict] = None) -> dict:
         p = self.params
         im = jnp.asarray(image)
-        state, part1 = self._jit_part1(self.state, im)
+        state, part1 = self._jit_part1(self.variables, self.state, im)
 
         # fetch the small candidate arrays for host-side association
         cand_scores = np.asarray(part1["cand_scores"])
@@ -252,7 +253,7 @@ class KeepTrackTracker(DiMPTracker):
                    or self.candidate_collection.candidate_selection_is_certain)
 
         self.state, out = self._jit_part2(
-            state, part1["backbone_l2"], part1["backbone_l3"], part1["test_x"],
+            self.variables, state, part1["backbone_l2"], part1["backbone_l3"], part1["test_x"],
             part1["sample_pos"], part1["sample_scale"],
             jnp.asarray(sel_coord, jnp.float32), jnp.asarray(flag_code, jnp.int32),
             jnp.asarray(cand_score, jnp.float32), jnp.asarray(certain))

@@ -85,9 +85,12 @@ class LWLTracker(BaseTracker):
     def __init__(self, params: LWLParams, net, variables):
         super().__init__(params)
         self.net = net
-        self.variables = variables
-        self._jit_init = jax.jit(self._initialize_impl)
-        self._jit_track = jax.jit(self._track_impl)
+        # device_put ONCE: variables may arrive host/CPU-resident (CPU-side init,
+        # msgpack load) — passing host arrays to a jitted call re-uploads them per
+        # frame (~100MB through the axon tunnel)
+        self.variables = jax.device_put(variables)
+        self._jit_init = self._jit_with_variables(self._initialize_impl)
+        self._jit_track = self._jit_with_variables(self._track_impl)
         self.state: Optional[LWLState] = None
         self.object_id = None
 
@@ -131,7 +134,7 @@ class LWLTracker(BaseTracker):
         if init_mask is None:
             raise Exception("No init mask provided for LWL")
         mask = jnp.asarray(np.asarray(init_mask), jnp.float32)
-        self.state = self._jit_init(im, bbox, mask)
+        self.state = self._jit_init(self.variables, im, bbox, mask)
         seg = np.asarray(self.state.seg_raw > 0, np.uint8)
         return {"segmentation": seg,
                 "segmentation_raw": np.asarray(self.state.seg_raw)}
@@ -204,7 +207,7 @@ class LWLTracker(BaseTracker):
             prev_prob = self.state.seg_raw
         prev_prob = jnp.asarray(prev_prob, jnp.float32)
 
-        self.state, out = self._jit_track(self.state, im, prev_prob)
+        self.state, out = self._jit_track(self.variables, self.state, im, prev_prob)
         if self.object_id is None:
             seg_out = np.asarray(jax.nn.sigmoid(out["segmentation_raw"]))
         else:
@@ -423,12 +426,26 @@ class LWLMultiObjectTracker:
         self.object_ids: list = []
         self._prev_probs = None
 
-        self._jit_init = jax.jit(jax.vmap(self._impl._initialize_impl,
-                                          in_axes=(None, 0, 0)))
+        def multi_init(variables, im, bboxes, masks):
+            prev = self._impl.variables
+            self._impl.variables = variables     # tracer pytree during trace
+            try:
+                return jax.vmap(self._impl._initialize_impl,
+                                in_axes=(None, 0, 0))(im, bboxes, masks)
+            finally:
+                self._impl.variables = prev
 
-        def multi_step(states, im, prev_probs):
-            states, outs = jax.vmap(self._impl._track_impl,
-                                    in_axes=(0, None, 0))(states, im, prev_probs)
+        self._jit_init = jax.jit(multi_init)
+
+        def multi_step(variables, states, im, prev_probs):
+            prev = self._impl.variables
+            self._impl.variables = variables
+            try:
+                states, outs = jax.vmap(self._impl._track_impl,
+                                        in_axes=(0, None, 0))(states, im,
+                                                              prev_probs)
+            finally:
+                self._impl.variables = prev
             raw = outs["segmentation_raw"]                        # (O, H, W) logits
             prob = jax.nn.sigmoid(raw)
             eps = 1e-7
@@ -441,7 +458,7 @@ class LWLMultiObjectTracker:
             return states, {"label": label, "agg_fg": agg[1:],
                             "target_bbox": outs["target_bbox"]}
 
-        self._jit_step = jax.jit(multi_step, donate_argnums=(0,))
+        self._jit_step = jax.jit(multi_step, donate_argnums=(1,))
 
     def initialize(self, image, info: Dict[str, Any]) -> dict:
         im = jnp.asarray(image)
@@ -460,13 +477,14 @@ class LWLMultiObjectTracker:
             bboxes.append(bb)
         masks = jnp.asarray(np.stack(masks))
         bboxes = jnp.asarray(np.asarray(bboxes, np.float32))
-        self.states = self._jit_init(im, bboxes, masks)
+        self.states = self._jit_init(self._impl.variables, im, bboxes, masks)
         self._prev_probs = masks
         return {"segmentation": np.asarray(masks_full, np.uint8)}
 
     def track(self, image, info: Optional[dict] = None) -> dict:
         im = jnp.asarray(image)
-        self.states, out = self._jit_step(self.states, im, self._prev_probs)
+        self.states, out = self._jit_step(self._impl.variables, self.states,
+                                           im, self._prev_probs)
         self._prev_probs = out["agg_fg"]
 
         ids_all = np.array([0] + [int(o) for o in self.object_ids], np.uint8)

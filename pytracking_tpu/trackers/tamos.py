@@ -80,9 +80,12 @@ class TaMOsTracker(BaseTracker):
     def __init__(self, params: TaMOsParams, net, variables):
         super().__init__(params)
         self.net = net
-        self.variables = variables
-        self._jit_init = jax.jit(self._initialize_impl)
-        self._jit_track = jax.jit(self._track_impl, donate_argnums=(0,))  # reuse state buffers in place
+        # device_put ONCE: variables may arrive host/CPU-resident (CPU-side init,
+        # msgpack load) — passing host arrays to a jitted call re-uploads them per
+        # frame (~100MB through the axon tunnel)
+        self.variables = jax.device_put(variables)
+        self._jit_init = self._jit_with_variables(self._initialize_impl)
+        self._jit_track = self._jit_with_variables(self._track_impl, donate_state=True)
         self.state: Optional[TaMOsState] = None
         self.id_map: Dict[int, str] = {}
         self.mot_dataset = False
@@ -139,12 +142,12 @@ class TaMOsTracker(BaseTracker):
             boxes[i] = np.asarray(bboxes_dict[oid], np.float32)
             valid[i] = True
 
-        self.state = self._jit_init(im, jnp.asarray(boxes), jnp.asarray(valid))
+        self.state = self._jit_init(self.variables, im, jnp.asarray(boxes), jnp.asarray(valid))
         return {}
 
     def track(self, image, info: Optional[dict] = None) -> dict:
         im = jnp.asarray(image)
-        self.state, out = self._jit_track(self.state, im)
+        self.state, out = self._jit_track(self.variables, self.state, im)
         boxes = np.asarray(out["target_bbox"])
         scores = np.asarray(out["max_score"])
         out_boxes = OrderedDict()

@@ -100,9 +100,12 @@ class ToMPTracker(BaseTracker):
     def __init__(self, params: ToMPParams, net, variables):
         super().__init__(params)
         self.net = net
-        self.variables = variables
-        self._jit_init = jax.jit(self._initialize_impl)
-        self._jit_track = jax.jit(self._track_impl, donate_argnums=(0,))  # reuse state buffers in place
+        # device_put ONCE: variables may arrive host/CPU-resident (CPU-side init,
+        # msgpack load) — passing host arrays to a jitted call re-uploads them per
+        # frame (~100MB through the axon tunnel)
+        self.variables = jax.device_put(variables)
+        self._jit_init = self._jit_with_variables(self._initialize_impl)
+        self._jit_track = self._jit_with_variables(self._track_impl, donate_state=True)
         self.state: Optional[ToMPState] = None
         self._seed = 0
 
@@ -170,7 +173,7 @@ class ToMPTracker(BaseTracker):
         im = jnp.asarray(image)
         bbox = jnp.asarray(info["init_bbox"], jnp.float32)
         key = jax.random.PRNGKey(self._seed)
-        self.state = self._jit_init(im, bbox, key)
+        self.state = self._jit_init(self.variables, im, bbox, key)
         return {}
 
     def _initialize_impl(self, im, bbox, key) -> ToMPState:
@@ -230,7 +233,7 @@ class ToMPTracker(BaseTracker):
 
     def track_async(self, image, info: Optional[dict] = None):
         im = jnp.asarray(image)
-        self.state, out = self._jit_track(self.state, im)
+        self.state, out = self._jit_track(self.variables, self.state, im)
         return out
 
     def fetch_output(self, out) -> dict:

@@ -42,11 +42,12 @@ dev_frame = jax.device_put(frame)
 jax.block_until_ready(dev_frame)
 state = tracker.state
 step = tracker._jit_track
-state, out = step(state, dev_frame)
+variables = spec.variables
+state, out = step(variables, state, dev_frame)
 jax.block_until_ready(state)
 t0 = time.perf_counter()
 for _ in range(N):
-    state, out = step(state, dev_frame)
+    state, out = step(variables, state, dev_frame)
 jax.block_until_ready(state)
 t1 = time.perf_counter()
 print(f"device-resident step:      {1000*(t1-t0)/N:.1f} ms/frame  ({N/(t1-t0):.2f} fps)")
