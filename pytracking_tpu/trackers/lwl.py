@@ -132,12 +132,63 @@ class LWLTracker(BaseTracker):
         bbox = jnp.asarray(info["init_bbox"], jnp.float32)
         init_mask = info.get("init_mask")
         if init_mask is None:
-            raise Exception("No init mask provided for LWL")
-        mask = jnp.asarray(np.asarray(init_mask), jnp.float32)
+            if getattr(self.net, "box_label_encoder", None) is None:
+                raise Exception("No init mask provided for LWL")
+            # box-initialized VOS (reference lwl_boxinit): bootstrap the mask from
+            # the box via the box label encoder + decoder
+            if not hasattr(self, "_jit_boxinit"):
+                self._jit_boxinit = self._jit_with_variables(self._boxinit_mask_impl)
+            mask = self._jit_boxinit(self.variables, im, bbox)
+        else:
+            mask = jnp.asarray(np.asarray(init_mask), jnp.float32)
         self.state = self._jit_init(self.variables, im, bbox, mask)
         seg = np.asarray(self.state.seg_raw > 0, np.uint8)
         return {"segmentation": seg,
                 "segmentation_raw": np.asarray(self.state.seg_raw)}
+
+    def _boxinit_mask_impl(self, im, bbox):
+        """First-frame mask from a box (reference lwl_box_net.py:126-136 via
+        parameter/lwl/lwl_boxinit.py): crop around the box, box-encode, decode a
+        mask, paste its probabilities back to image coordinates."""
+        from pytracking_tpu.ops.patch import _resample_weights
+
+        p = self.params
+        im_f = im.astype(jnp.float32)
+        Hs, Ws = p.image_sample_size
+        support = jnp.array([float(Hs), float(Ws)])
+        pos = jnp.array([bbox[1] + (bbox[3] - 1) / 2, bbox[0] + (bbox[2] - 1) / 2])
+        target_sz = jnp.array([bbox[3], bbox[2]])
+        search_area = jnp.prod(target_sz * p.search_area_scale)
+        target_scale = jnp.sqrt(search_area) / jnp.sqrt(jnp.prod(support))
+        patch, coords = sample_patch(im_f, jnp.round(pos), target_scale * support,
+                                     (Hs, Ws), mode=p.border_mode,
+                                     max_scale_change=p.patch_max_scale_change)
+        backbone_feat = self._backbone(patch[None])
+        feat_tm = self._tm_features(backbone_feat)            # (1, h, w, C)
+
+        # box in crop coordinates
+        tl = coords[:2]
+        sz = coords[2:] - coords[:2]
+        scale_yx = jnp.array([Hs, Ws]) / sz
+        bb_crop = jnp.array([(bbox[0] - tl[1]) * scale_yx[1],
+                             (bbox[1] - tl[0]) * scale_yx[0],
+                             bbox[2] * scale_yx[1], bbox[3] * scale_yx[0]])
+        mask_logits, _ = self.net.apply(
+            self.variables, bb_crop[None, None], feat_tm[:, None], backbone_feat,
+            (Hs, Ws),
+            method=lambda m, b, f, bf, s: m.segment_target_from_box(b, f, bf, s))
+
+        # paste probabilities to image coords (separable resample)
+        H, W = im.shape[0], im.shape[1]
+        cy = (jnp.arange(H, dtype=jnp.float32) - tl[0]) * Hs / sz[0] - 0.5
+        cx = (jnp.arange(W, dtype=jnp.float32) - tl[1]) * Ws / sz[1] - 0.5
+        ry = _resample_weights(cy, Hs, jnp.asarray(1.0))
+        rx = _resample_weights(cx, Ws, jnp.asarray(1.0))
+        vals = jnp.einsum("ih,hw->iw", ry, mask_logits)
+        vals = jnp.einsum("jw,iw->ij", rx, vals)
+        inside = ((cy >= -0.5) & (cy <= Hs - 0.5))[:, None] & \
+            ((cx >= -0.5) & (cx <= Ws - 0.5))[None, :]
+        return ((jax.nn.sigmoid(vals) > 0.5) & inside).astype(jnp.float32)
 
     def _initialize_impl(self, im, bbox, init_mask) -> LWLState:
         p = self.params

@@ -175,3 +175,44 @@ def test_lwl_vmapped_multiobject():
     for oid in ("1", "2"):
         bb = out["target_bbox"][oid]
         assert len(bb) == 4 and all(np.isfinite(bb))
+
+
+def test_lwl_boxinit_tracker():
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from pytracking_tpu.models.lwl.label_encoder import ResidualDS16FeatSWBox
+    from pytracking_tpu.models.lwl.lwl_net import LWTLBoxNet
+    from pytracking_tpu.trackers.lwl import LWLParams, LWLTracker
+
+    base = tiny_lwl_net()
+    net = LWTLBoxNet(feature_extractor=base.feature_extractor,
+                     target_model=base.target_model, decoder=base.decoder,
+                     label_encoder=base.label_encoder,
+                     box_label_encoder=ResidualDS16FeatSWBox(
+                         layer_dims=(4, 8, 16, 16, 4)),
+                     target_model_input_layer=base.target_model_input_layer,
+                     decoder_input_layers=base.decoder_input_layers)
+    imgs = jnp.zeros((1, 1, 64, 64, 3))
+    masks = jnp.zeros((1, 1, 64, 64))
+    bb = jnp.array([[[20.0, 20.0, 20.0, 20.0]]])
+    v_main = net.init(jax.random.PRNGKey(0), imgs, imgs, masks,
+                      num_refinement_iter=0, train=False)
+    v_box = net.init(jax.random.PRNGKey(1), imgs, bb, train=False,
+                     method=net.box_forward)
+    variables = {"params": {**v_main["params"], **v_box["params"]},
+                 "batch_stats": {**v_main.get("batch_stats", {}),
+                                 **v_box.get("batch_stats", {})}}
+    params = LWLParams(image_sample_size=(64, 64), sample_memory_size=4,
+                       net_opt_iter=2, net_opt_update_iter=1,
+                       border_mode="replicate")
+    tracker = LWLTracker(params, net, variables)
+
+    frame = np.full((96, 96, 3), 40, np.float32)
+    frame[30:60, 30:60] = 220.0
+    # NO init_mask — the box encoder must bootstrap it
+    tracker.initialize(frame, {"init_bbox": [30.0, 30.0, 30.0, 30.0]})
+    out = tracker.track(frame)
+    assert out["segmentation"].shape == (96, 96)
+    assert all(np.isfinite(out["target_bbox"]))
