@@ -177,16 +177,37 @@ def run_sequence(seq: Sequence, tracker, debug: int = 0,
     return output
 
 
+def _run_sequence_job(args):
+    """Spawned worker entry (reference running.py:198-218): rebuild the tracker
+    wrapper in the child and run one sequence."""
+    seq, tracker_info, debug = args
+    from pytracking_tpu.evaluation.tracker import Tracker
+
+    tracker = Tracker(*tracker_info)
+    run_sequence(seq, tracker, debug=debug)
+
+
 def run_dataset(dataset, trackers: List, debug: int = 0, threads: int = 0,
                 shard: int = 0, num_shards: int = 1,
                 profile_dir: Optional[str] = None):
     """Run (sequence × tracker) jobs (reference running.py:189-218). `shard` /
-    `num_shards` shard the sequence list across processes/hosts for TPU-pod scale-out."""
+    `num_shards` shard the sequence list across processes/hosts for TPU-pod
+    scale-out; `threads > 0` runs jobs in a spawn-based process pool (CPU backend
+    only — multiple processes cannot share one TPU chip)."""
     seqs = [s for i, s in enumerate(dataset) if i % num_shards == shard]
     print(f"Evaluating {len(trackers)} trackers on {len(seqs)} sequences "
           f"(shard {shard}/{num_shards})")
-    for seq in seqs:
-        for tracker in trackers:
-            run_sequence(seq, tracker, debug=debug, profile_dir=profile_dir)
-            profile_dir = None  # profile only the first sequence
+    if threads > 0:
+        import multiprocessing
+
+        jobs = [(seq, (t.name, t.parameter_name, t.run_id), debug)
+                for seq in seqs for t in trackers]
+        ctx = multiprocessing.get_context("spawn")
+        with ctx.Pool(threads) as pool:
+            pool.map(_run_sequence_job, jobs)
+    else:
+        for seq in seqs:
+            for tracker in trackers:
+                run_sequence(seq, tracker, debug=debug, profile_dir=profile_dir)
+                profile_dir = None  # profile only the first sequence
     print("Done")
