@@ -31,7 +31,7 @@ import jax.numpy as jnp
 import numpy as np
 from flax import struct
 
-from pytracking_tpu.ops.patch import bilinear_sample, sample_patch
+from pytracking_tpu.ops.patch import sample_patch
 from pytracking_tpu.trackers.base import BaseTracker
 
 
