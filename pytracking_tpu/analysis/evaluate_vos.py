@@ -111,15 +111,22 @@ def evaluate_vos(trackers: List, dataset, report_name: str = "vos_report",
             seg_dir = os.path.join(trk.segmentation_dir, seq.name)
             if not os.path.isdir(seg_dir):
                 continue
+            names = [os.path.splitext(os.path.basename(f))[0]
+                     for f in seq.frames]
+            if len(set(names)) != len(names):
+                # writer fallback for colliding frame names (running.py)
+                names = [f"{i:05d}" for i in range(len(seq.frames))]
             preds, gts = [], []
-            for frame, gt in zip(seq.frames, seq.ground_truth_seg):
-                name = os.path.splitext(os.path.basename(frame))[0] + ".png"
-                path = os.path.join(seg_dir, name)
+            for name, gt in zip(names, seq.ground_truth_seg):
+                path = os.path.join(seg_dir, name + ".png")
                 if gt is None or not os.path.isfile(path):
                     continue
                 preds.append(imread_indexed(path))
                 gts.append(imread_indexed(gt) if isinstance(gt, str) else gt)
             if len(preds) < 3:
+                if not quiet:
+                    print(f"  [evaluate_vos] {seq.name}: no saved masks found "
+                          f"under {seg_dir} — skipped")
                 continue
             oids = [int(o) for o in (seq.object_ids or [1])]
             res = evaluate_sequence(preds, gts, oids)

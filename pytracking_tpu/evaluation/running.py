@@ -99,6 +99,10 @@ def _save_tracker_output(seq: Sequence, tracker, output: dict):
             names = [os.path.splitext(os.path.basename(p))[0] for p in seq.frames]
             if len(set(names)) != len(names):   # synthetic:// URIs collide
                 names = [f"{i:05d}" for i in range(len(seq.frames))]
+            if len(data) == len(names) - 1:
+                # tracker produced no init-frame segmentation: predictions start
+                # at frame 1 — keep frame-name alignment
+                names = names[1:]
             for name, seg in zip(names, data):
                 imwrite_indexed(os.path.join(seg_dir, name + ".png"), seg)
 
