@@ -105,3 +105,31 @@ def test_calc_iou_overlap():
     b = np.array([[5.0, 0.0, 10, 10]])
     iou = calc_iou_overlap(a, b)
     assert 0.3 < iou[0] < 0.4  # ~5/15 with the -1/+1 convention
+
+
+def test_create_tracker_vmap_multiobj_route(monkeypatch):
+    """PYTRACKING_TPU_VMAP_MULTIOBJ=1 routes multiobj creation to the tracker's
+    vmap class; default stays on MultiObjectWrapper."""
+    from pytracking_tpu.evaluation.tracker import Tracker, TrackerSpec
+    from pytracking_tpu.evaluation.multi_object_wrapper import MultiObjectWrapper
+
+    class FakeVmapTracker:
+        def __init__(self, params, net, variables):
+            self.kind = "vmap"
+
+    class FakeTracker:
+        multiobj_mode = "parallel"
+        vmap_multiobj_class = FakeVmapTracker
+
+        def __init__(self, params, net, variables):
+            self.kind = "single"
+
+    t = Tracker.__new__(Tracker)
+    t.tracker_class = FakeTracker
+    t._spec = TrackerSpec(params=None, net=None, variables=None)
+
+    monkeypatch.delenv("PYTRACKING_TPU_VMAP_MULTIOBJ", raising=False)
+    assert isinstance(t.create_tracker(multiobj=True), MultiObjectWrapper)
+    monkeypatch.setenv("PYTRACKING_TPU_VMAP_MULTIOBJ", "1")
+    assert isinstance(t.create_tracker(multiobj=True), FakeVmapTracker)
+    assert t.create_tracker(multiobj=False).kind == "single"
