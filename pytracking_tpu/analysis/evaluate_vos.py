@@ -88,12 +88,19 @@ def evaluate_sequence(pred_masks: List[np.ndarray], gt_masks: List[np.ndarray],
             f_scores.append(boundary_f_measure(p, g))
         j = np.asarray(j_scores) if j_scores else np.zeros(1)
         f = np.asarray(f_scores) if f_scores else np.zeros(1)
-        n4 = max(len(j) // 4, 1)
+
+        def decay(t):
+            # official DAVIS binning: 4 bins from linspace frame ids,
+            # D = mean(bin1) - mean(bin4)
+            ids = np.round(np.linspace(1, len(t), 5) + 1e-10).astype(int) - 1
+            bins = [t[ids[i]:ids[i + 1] + 1] for i in range(4)]
+            return float(max(np.mean(bins[0]) - np.mean(bins[3]), 0.0))
+
         results[oid] = {
             "J_mean": float(j.mean()), "J_recall": float((j > 0.5).mean()),
-            "J_decay": float(max(j[:n4].mean() - j[-n4:].mean(), 0.0)),
+            "J_decay": decay(j),
             "F_mean": float(f.mean()), "F_recall": float((f > 0.5).mean()),
-            "F_decay": float(max(f[:n4].mean() - f[-n4:].mean(), 0.0)),
+            "F_decay": decay(f),
         }
     return results
 

@@ -40,31 +40,59 @@ def calc_iou_overlap(pred_bb: np.ndarray, anno_bb: np.ndarray) -> np.ndarray:
 def calc_seq_err_robust(pred_bb: np.ndarray, anno_bb: np.ndarray, dataset: str,
                         target_visible: Optional[np.ndarray] = None):
     """Per-frame errors with per-dataset robustness rules
-    (reference extract_results.py:41-100): first frame is GT; invalid/occluded frames
-    are excluded; lost predictions (nan/-1) count as failures."""
-    pred_bb = pred_bb.astype(np.float64).copy()
-    anno_bb = anno_bb.astype(np.float64)
+    (reference extract_results.py:41-100). Returns FULL-length error arrays plus the
+    per-frame validity mask; invalid frames carry the reference's sentinel values
+    (overlap -1, center inf, norm-center -1; uav center -1; lasot occluded inf)."""
+    pred_bb = np.asarray(pred_bb, np.float64).copy()
+    anno_bb = np.asarray(anno_bb, np.float64)
+
+    if np.isnan(pred_bb).any() or (pred_bb[:, 2:] < 0.0).any():
+        raise Exception("Error: Invalid results")
+    if np.isnan(anno_bb).any() and dataset != "uav":
+        raise Exception("Warning: NaNs in annotation")
+
+    # zero-size predictions ("target lost"): carry the previous frame's box
+    # forward (reference :54-57)
+    if (pred_bb[:, 2:] == 0.0).any():
+        for i in range(1, pred_bb.shape[0]):
+            if (pred_bb[i, 2:] == 0.0).any() and not np.isnan(anno_bb[i, :]).any():
+                pred_bb[i, :] = pred_bb[i - 1, :]
+
+    # prediction/annotation length mismatch (reference :59-72)
+    if pred_bb.shape[0] != anno_bb.shape[0]:
+        if pred_bb.shape[0] > anno_bb.shape[0]:
+            pred_bb = pred_bb[:anno_bb.shape[0], :]
+        elif dataset == "lasot":
+            raise Exception("Mis-match in tracker prediction and GT lengths")
+        else:
+            pad = np.zeros((anno_bb.shape[0] - pred_bb.shape[0], 4), np.float64)
+            pred_bb = np.concatenate([pred_bb, pad], axis=0)
+
     pred_bb[0, :] = anno_bb[0, :]
 
     if target_visible is not None:
-        target_visible = target_visible.astype(bool)
-        valid = ((anno_bb[:, 2:] > 0.0).sum(1) == 2) & target_visible
+        target_visible = np.asarray(target_visible).astype(bool)
+        valid = ((anno_bb > 0.0).sum(1) == 4) & target_visible
     else:
-        valid = (anno_bb[:, 2:] > 0.0).sum(1) == 2
+        valid = (anno_bb > 0.0).sum(1) == 4
 
-    err_center = calc_err_center(pred_bb, anno_bb)
-    err_center_normalized = calc_err_center(pred_bb, anno_bb, normalized=True)
-    err_overlap = calc_iou_overlap(pred_bb, anno_bb)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        err_center = calc_err_center(pred_bb, anno_bb)
+        err_center_normalized = calc_err_center(pred_bb, anno_bb, normalized=True)
+        err_overlap = calc_iou_overlap(pred_bb, anno_bb)
 
-    # lost-target handling (reference :74-90)
-    tracked = (pred_bb[:, 2:] > 0).sum(1) == 2
-    if dataset in ("uav",):
-        err_center[~tracked] = -1.0
-    err_center[~tracked] = float("inf") if dataset not in ("uav",) else err_center[~tracked]
-    err_center_normalized[~tracked] = np.inf
-    err_overlap[~tracked] = -1.0
+    # invalid-annotation sentinels (reference :86-96)
+    err_center[~valid] = -1.0 if dataset == "uav" else np.inf
+    err_center_normalized[~valid] = -1.0
+    err_overlap[~valid] = -1.0
 
-    return err_overlap[valid], err_center[valid], err_center_normalized[valid], valid
+    if dataset == "lasot" and target_visible is not None:
+        err_center_normalized[~target_visible] = np.inf
+        err_center[~target_visible] = np.inf
+
+    if np.isnan(err_overlap).any():
+        raise Exception("Nans in calculated overlap")
+    return err_overlap, err_center, err_center_normalized, valid
 
 
 def extract_results(trackers: List, dataset, report_name: Optional[str] = None,
@@ -106,19 +134,24 @@ def extract_results(trackers: List, dataset, report_name: Optional[str] = None,
             else:
                 raise FileNotFoundError(f"Result not found: {results_path}")
 
-            n = min(len(pred_bb), len(anno_bb))
             err_overlap, err_center, err_center_norm, valid_frame = calc_seq_err_robust(
-                pred_bb[:n], anno_bb[:n], seq.dataset,
-                target_visible[:n] if target_visible is not None else None)
+                pred_bb, anno_bb, seq.dataset, target_visible)
 
-            avg_overlap_all[seq_id, trk_id] = err_overlap.mean() if err_overlap.size else 0.0
-            if err_overlap.size:
-                ave_success_rate_plot_overlap[seq_id, trk_id] = \
-                    (err_overlap[:, None] > threshold_set_overlap[None]).mean(0)
-                ave_success_rate_plot_center[seq_id, trk_id] = \
-                    (err_center[:, None] < threshold_set_center[None]).mean(0)
-                ave_success_rate_plot_center_norm[seq_id, trk_id] = \
-                    (err_center_norm[:, None] < threshold_set_center_norm[None]).mean(0)
+            avg_overlap_all[seq_id, trk_id] = (
+                err_overlap[valid_frame].mean() if valid_frame.any() else 0.0)
+            # curves over the FULL sequence, normalized by seq length (reference
+            # :151-162): invalid frames carry failure sentinels from
+            # calc_seq_err_robust, success uses strict >, precision uses <=
+            seq_length = int(valid_frame.sum()) if exclude_invalid_frames \
+                else anno_bb.shape[0]
+            if seq_length <= 0:
+                raise Exception("Seq length zero")
+            ave_success_rate_plot_overlap[seq_id, trk_id] = \
+                (err_overlap[:, None] > threshold_set_overlap[None]).sum(0) / seq_length
+            ave_success_rate_plot_center[seq_id, trk_id] = \
+                (err_center[:, None] <= threshold_set_center[None]).sum(0) / seq_length
+            ave_success_rate_plot_center_norm[seq_id, trk_id] = \
+                (err_center_norm[:, None] <= threshold_set_center_norm[None]).sum(0) / seq_length
 
     eval_data = {
         "sequences": [s.name for s in dataset],

@@ -39,8 +39,12 @@ class Sequence:
         self.frames = frames
         self.dataset = dataset
         self.attributes = attributes or []
-        self.ground_truth_rect = np.asarray(ground_truth_rect) \
-            if ground_truth_rect is not None else None
+        if isinstance(ground_truth_rect, dict):   # multi-object: {obj_id: (N, 4)}
+            self.ground_truth_rect = {k: np.asarray(v)
+                                      for k, v in ground_truth_rect.items()}
+        else:
+            self.ground_truth_rect = np.asarray(ground_truth_rect) \
+                if ground_truth_rect is not None else None
         self.ground_truth_seg = ground_truth_seg
         self.object_class = object_class
         self.target_visible = np.asarray(target_visible) \
@@ -53,7 +57,10 @@ class Sequence:
         if init_data is not None:
             return init_data
         init_bbox = None
-        if self.ground_truth_rect is not None:
+        if isinstance(self.ground_truth_rect, dict):
+            init_bbox = {oid: list(map(float, r[0] if r.ndim == 2 else r))
+                         for oid, r in self.ground_truth_rect.items()}
+        elif self.ground_truth_rect is not None:
             rect = self.ground_truth_rect
             init_bbox = rect[0] if rect.ndim == 2 else rect
             init_bbox = list(map(float, init_bbox))

@@ -103,18 +103,18 @@ class MultiObjectWrapper:
             merged["target_bbox"][oid] = out["target_bbox"]
             if "object_presence_score" in out:
                 merged["object_presence_score"][oid] = out["object_presence_score"]
-            if "segmentation_soft" in out:
-                seg_scores[oid] = np.asarray(out["segmentation_soft"])
+            # soft masks when the tracker emits them, else the binary mask
+            # (reference default_merge:74)
+            seg = out.get("segmentation_soft", out.get("segmentation"))
+            if seg is not None:
+                seg_scores[oid] = np.asarray(seg, np.float32)
         if not merged["object_presence_score"]:
             merged.pop("object_presence_score")
         if seg_scores:
             ids = list(seg_scores)
             stack = np.stack([seg_scores[i] for i in ids])      # (N, H, W)
-            bg = 1.0 - stack.max(axis=0, keepdims=True)
-            all_scores = np.concatenate([bg, stack])
-            label = all_scores.argmax(0)
-            merged_seg = np.zeros(label.shape, np.uint8)
-            for k, oid in enumerate(ids, start=1):
-                merged_seg[label == k] = int(oid)
-            merged["segmentation"] = merged_seg
+            thr = getattr(self.params, "segmentation_threshold", 0.5)
+            obj_ids = np.array([0] + [int(i) for i in ids], np.uint8)
+            merged["segmentation"] = obj_ids[
+                np.where(stack.max(axis=0) > thr, stack.argmax(axis=0) + 1, 0)]
         return merged

@@ -91,7 +91,15 @@ def _save_tracker_output(seq: Sequence, tracker, output: dict):
             else:
                 save_time(f"{base}_time.txt", data)
         elif key == "object_presence_score":
-            save_score(f"{base}_object_presence_score.txt", data)
+            if isinstance(data[0], dict):   # multi-object: one file per object
+                by_obj = {}
+                for frame in data:
+                    for oid, s in frame.items():
+                        by_obj.setdefault(oid, []).append(s)
+                for oid, d in by_obj.items():
+                    save_score(f"{base}_{oid}_object_presence_scores.txt", d)
+            else:
+                save_score(f"{base}_object_presence_scores.txt", data)
         elif key == "segmentation":
             from pytracking_tpu.utils.png_io import imwrite_indexed
             seg_dir = os.path.join(tracker.segmentation_dir, seq.name)

@@ -30,6 +30,7 @@ class KYSNet(DiMPnet):
     """Extends DiMPnet with the motion/propagation branch."""
     predictor: Optional[ResponsePredictor] = None
     max_displacement: int = 9
+    cv_kernel_size: int = 3
 
     def get_motion_feat(self, backbone_feat):
         """Motion features = classification features (reference kysnet.py:90-95 with
@@ -41,7 +42,8 @@ class KYSNet(DiMPnet):
                          output_window=None):
         """(reference predictor_wrapper.predict_response :92-152). All inputs
         (B, H, W, C)-shaped; returns (fused (B,H,W,1), state (B,H,W,D), aux)."""
-        cv = cost_volume_abs(motion_feat_cur, motion_feat_prev, self.max_displacement)
+        cv = cost_volume_abs(motion_feat_cur, motion_feat_prev, self.max_displacement,
+                             kernel_size=self.cv_kernel_size)
         return self.predictor(cv, state_prev, dimp_score_cur, init_label=init_label,
                               dimp_thresh=dimp_thresh, output_window=output_window)
 

@@ -118,7 +118,6 @@ def prroi_pool2d_brute(feat: jnp.ndarray, rois: jnp.ndarray, batch_idx: jnp.ndar
         t = (jnp.arange(samples, dtype=jnp.float32) + 0.5) / samples
         for i in range(ph):
             for j in range(pw):
-                ys = y1 + (i + t) * 0 + y1 + ky * (i + t)
                 ys = y1 + ky * (i + t)
                 xs = x1 + kx * (j + t)
                 yy, xx = jnp.meshgrid(ys, xs, indexing="ij")

@@ -96,13 +96,18 @@ def cg_solve(A: Callable[[Pytree], Pytree],
         ok_i = ok & (pq > eps) & (rho > eps)
         alpha = jnp.where(ok_i, rho / jnp.where(pq == 0, 1.0, pq), 0.0)
         x = tree_add(x, p, alpha)
+        r_prev = r
         r = tree_add(r, q, -alpha)
         z = M(r)
         rho_new = tree_vdot(r, z)
         if fletcher_reeves:
             beta = rho_new / jnp.where(rho == 0, 1.0, rho)
-        else:  # Polak-Ribiere needs r_prev; FR is the reference default (:60)
-            beta = rho_new / jnp.where(rho == 0, 1.0, rho)
+        else:
+            # Polak-Ribiere (reference optimization.py:119-121):
+            # beta = (<r, z> - <r_prev, z>) / rho_prev, clamped at 0
+            rho2 = tree_vdot(r_prev, z)
+            beta = jnp.maximum(
+                (rho_new - rho2) / jnp.where(rho == 0, 1.0, rho), 0.0)
         beta = jnp.where(ok_i, beta, 0.0)
         p = tree_add(z, p, beta)
         return (x, r, z, p, rho_new, ok_i), tree_vdot(r, r)

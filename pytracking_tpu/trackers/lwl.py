@@ -142,9 +142,18 @@ class LWLTracker(BaseTracker):
         else:
             mask = jnp.asarray(np.asarray(init_mask), jnp.float32)
         self.state = self._jit_init(self.variables, im, bbox, mask)
-        seg = np.asarray(self.state.seg_raw > 0, np.uint8)
-        return {"segmentation": seg,
-                "segmentation_raw": np.asarray(self.state.seg_raw)}
+        # state.seg_raw at init is the 0/1 mask (probabilities). The output
+        # convention differs per mode (mirrors track()): multi-object emits raw
+        # LOGITS for merge_results' sigmoid (binary mask -> +/-100 pseudo-logits,
+        # the reference's (mask-0.5)*200 convention, lwl.py:253), single-object
+        # emits probabilities.
+        mask_np = np.asarray(self.state.seg_raw, np.float32)
+        seg = (mask_np > 0.5).astype(np.uint8)
+        if self.object_id is None:
+            raw = mask_np
+        else:
+            raw = (mask_np - 0.5) * 200.0
+        return {"segmentation": seg, "segmentation_raw": raw}
 
     def _boxinit_mask_impl(self, im, bbox):
         """First-frame mask from a box (reference lwl_box_net.py:126-136 via
@@ -430,7 +439,7 @@ class LWLTracker(BaseTracker):
             else:
                 seg_scores.append((np.asarray(o["segmentation"], np.float32) - 0.5)
                                   * 200.0)
-        seg_scores = np.stack(seg_scores)
+        seg_scores = np.clip(np.stack(seg_scores), -50.0, 50.0)
         prob = 1.0 / (1.0 + np.exp(-seg_scores))
         eps = 1e-7
         bg_p = np.clip(np.prod(1 - prob, axis=0), eps, 1 - eps)

@@ -278,14 +278,16 @@ def make_kys_actor(net, loss_weight=None, train: bool = True):
             return (l * mask).sum() / jnp.clip(mask.sum() * l[0].size /
                                                mask[0].size, 1.0, None)
 
-        cv1 = cost_volume_abs(motion[1], motion[0], net.max_displacement)
+        cv1 = cost_volume_abs(motion[1], motion[0], net.max_displacement,
+                              kernel_size=net.cv_kernel_size)
         fused1, state1, aux1 = predictor(cv1, None, dimp_scores[1],
                                          labels[0])
 
         def step(carry, inp):
             state_prev, feat_prev, lbl_prev, valid_prev = carry
             feat_cur, score_cur, lbl_cur, valid_cur = inp
-            cv = cost_volume_abs(feat_cur, feat_prev, net.max_displacement)
+            cv = cost_volume_abs(feat_cur, feat_prev, net.max_displacement,
+                                 kernel_size=net.cv_kernel_size)
             fused, state, aux = predictor(cv, state_prev, score_cur, None)
             m_cur = valid_cur[:, None, None, None]
             m_prev = valid_prev[:, None, None, None]

@@ -14,11 +14,19 @@ def test_cost_volume_abs_matches_manual():
     f2 = jnp.asarray(rng.randn(1, 4, 4, 3), jnp.float32)
     cv = cost_volume_abs(f1, f2, max_displacement=1)
     assert cv.shape == (1, 16, 4, 4)
-    # entry [p*W+q, i, j] = <f1[i,j], f2[p,q]>/C inside the window
-    manual = float(np.dot(np.asarray(f1[0, 1, 1]), np.asarray(f2[0, 2, 2]))) / 3
+    # kernel_size=1: entry [p*W+q, i, j] = <f1[i,j], f2[p,q]> inside the window
+    manual = float(np.dot(np.asarray(f1[0, 1, 1]), np.asarray(f2[0, 2, 2])))
     assert abs(float(cv[0, 2 * 4 + 2, 1, 1]) - manual) < 1e-5
     # outside window -> 0
     assert float(cv[0, 3 * 4 + 3, 0, 0]) == 0.0
+
+    # kernel_size=3: diagonal box-sum of the k=1 volume (sampler semantics)
+    cv3 = cost_volume_abs(f1, f2, max_displacement=1, kernel_size=3)
+    manual3 = sum(
+        float(np.dot(np.asarray(f1[0, 1 + u, 1 + v]), np.asarray(f2[0, 2 + u, 2 + v])))
+        for u in (-1, 0, 1) for v in (-1, 0, 1)
+        if 0 <= 1 + u < 4 and 0 <= 1 + v < 4 and 0 <= 2 + u < 4 and 0 <= 2 + v < 4)
+    assert abs(float(cv3[0, 2 * 4 + 2, 1, 1]) - manual3) < 1e-5
 
 
 @pytest.mark.filterwarnings("ignore")
