@@ -176,15 +176,18 @@ def klcedimpnet50(filter_size: int = 4, optim_iter: int = 5, optim_init_step: fl
                   iou_inter_dim=(256, 256), label_shrink: float = 0.0,
                   softmax_reg=None, label_threshold: float = 0.0,
                   init_uni_weight=None) -> DiMPnet:
-    """PrDiMP-50: KL-divergence Newton optimizer + zero initializer (reference
-    dimpnet.py:349-434, train_settings/dimp/prdimp50.py:95-98)."""
+    """PrDiMP-50: KL-divergence Newton optimizer + zero-INITIALIZED (but trained)
+    linear filter initializer (reference dimpnet.py:349-396 passes
+    init_initializer='zero' to FilterInitializerLinear — a real conv, non-zero in
+    trained checkpoints; train_settings/dimp/prdimp50.py:95-98)."""
     backbone = backbones.resnet50(output_layers=("layer2", "layer3"))
     norm_scale = math.sqrt(1.0 / (out_feature_dim * filter_size * filter_size))
     clf_fe = ResidualBottleneck(feature_dim=256, num_blocks=clf_feat_blocks,
                                 l2norm=clf_feat_norm, final_conv=final_conv,
                                 norm_scale=norm_scale, out_dim=out_feature_dim)
-    initializer = FilterInitializerZero(filter_size=filter_size,
-                                        feature_dim=out_feature_dim)
+    initializer = FilterInitializerLinear(filter_size=filter_size,
+                                          filter_norm=False,
+                                          feature_dim=out_feature_dim)
     optimizer = PrDiMPSteepestDescentNewton(
         num_iter=optim_iter, feat_stride=feat_stride, init_step_length=optim_init_step,
         init_filter_reg=optim_init_reg, min_filter_reg=optim_min_reg,
@@ -220,6 +223,7 @@ def dimpnet50_simple(filter_size: int = 4, optim_iter: int = 5,
                                 l2norm=clf_feat_norm, final_conv=final_conv,
                                 norm_scale=norm_scale, out_dim=out_feature_dim)
     initializer = FilterInitializerLinear(filter_size=filter_size,
+                                          filter_norm=False,
                                           feature_dim=out_feature_dim)
     optimizer = GNSteepestDescentDiMP(
         num_iter=optim_iter, feat_stride=feat_stride,
@@ -245,14 +249,16 @@ def klcedimpnet18(filter_size: int = 4, optim_iter: int = 5,
                   iou_input_dim=(256, 256), iou_inter_dim=(256, 256),
                   label_shrink: float = 0.0, softmax_reg=None,
                   label_threshold: float = 0.0, init_uni_weight=None) -> DiMPnet:
-    """PrDiMP-18 (reference dimpnet.py:257-345 klcedimpnet18)."""
+    """PrDiMP-18 (reference dimpnet.py:257-345 klcedimpnet18; the initializer is
+    FilterInitializerLinear with zero init, as in klcedimpnet50)."""
     backbone = backbones.resnet18(output_layers=("layer2", "layer3"))
     norm_scale = math.sqrt(1.0 / (out_feature_dim * filter_size * filter_size))
     clf_fe = ResidualBasicBlock(feature_dim=256, num_blocks=clf_feat_blocks,
                                 l2norm=clf_feat_norm, final_conv=final_conv,
                                 norm_scale=norm_scale, out_dim=out_feature_dim)
-    initializer = FilterInitializerZero(filter_size=filter_size,
-                                        feature_dim=out_feature_dim)
+    initializer = FilterInitializerLinear(filter_size=filter_size,
+                                          filter_norm=False,
+                                          feature_dim=out_feature_dim)
     optimizer = PrDiMPSteepestDescentNewton(
         num_iter=optim_iter, feat_stride=feat_stride,
         init_step_length=optim_init_step, init_filter_reg=optim_init_reg,

@@ -92,6 +92,47 @@ def port_resnet(sd: Dict[str, np.ndarray], params: dict, batch_stats: dict,
                         f"{fp}/downsample_bn")
 
 
+def port_atom_iou_net(sd: Dict[str, np.ndarray], params: dict, batch_stats: dict,
+                      prefix: str = "bb_regressor", flax_prefix: str = "bb_regressor"):
+    """Reference AtomIoUNet (ltr/models/bbreg/atom_iou_net.py:15) subtree."""
+    for name in ("conv3_1r", "conv3_1t", "conv3_2t", "fc3_1r", "conv4_1r", "conv4_1t",
+                 "conv4_2t", "fc34_3r", "fc34_4r"):
+        port_conv_block(sd, f"{prefix}.{name}", params, batch_stats,
+                        f"{flax_prefix}/{name}")
+    # LinearBlocks: torch flattens NCHW pooled maps (C, 5, 5)/(C, 3, 3)
+    c_in3 = sd[f"{prefix}.fc3_rt.linear.weight"].shape[1] // 25
+    set_in(params, f"{flax_prefix}/fc3_rt/Dense_0/kernel",
+           linear_kernel(sd[f"{prefix}.fc3_rt.linear.weight"], (5, 5, c_in3)))
+    set_in(params, f"{flax_prefix}/fc3_rt/Dense_0/bias",
+           sd[f"{prefix}.fc3_rt.linear.bias"])
+    port_bn(sd, f"{prefix}.fc3_rt.bn", params, batch_stats,
+            f"{flax_prefix}/fc3_rt/BatchNorm_0")
+    c_in4 = sd[f"{prefix}.fc4_rt.linear.weight"].shape[1] // 9
+    set_in(params, f"{flax_prefix}/fc4_rt/Dense_0/kernel",
+           linear_kernel(sd[f"{prefix}.fc4_rt.linear.weight"], (3, 3, c_in4)))
+    set_in(params, f"{flax_prefix}/fc4_rt/Dense_0/bias",
+           sd[f"{prefix}.fc4_rt.linear.bias"])
+    port_bn(sd, f"{prefix}.fc4_rt.bn", params, batch_stats,
+            f"{flax_prefix}/fc4_rt/BatchNorm_0")
+    set_in(params, f"{flax_prefix}/iou_predictor/kernel",
+           linear_kernel(sd[f"{prefix}.iou_predictor.weight"]))
+    set_in(params, f"{flax_prefix}/iou_predictor/bias",
+           sd[f"{prefix}.iou_predictor.bias"])
+
+
+def port_atomnet(state_dict: Dict[str, np.ndarray],
+                 layers: Tuple[int, ...] = (2, 2, 2, 2),
+                 block: str = "basic") -> dict:
+    """ATOMnet checkpoint (reference ltr/models/bbreg/atom.py:7) -> flax variables."""
+    sd = {k: np.asarray(v) for k, v in state_dict.items()}
+    params: dict = {}
+    batch_stats: dict = {}
+    port_resnet(sd, params, batch_stats, "feature_extractor", "feature_extractor",
+                layers, block)
+    port_atom_iou_net(sd, params, batch_stats)
+    return {"params": params, "batch_stats": batch_stats}
+
+
 def port_dimpnet(state_dict: Dict[str, np.ndarray],
                  layers: Tuple[int, ...] = (3, 4, 6, 3),
                  block: str = "bottleneck",
@@ -139,25 +180,7 @@ def port_dimpnet(state_dict: Dict[str, np.ndarray],
                sd[fo + ".spatial_weight_predictor.weight"].reshape(-1))
 
     # IoU net
-    bb = "bb_regressor"
-    fxb = "bb_regressor"
-    for name in ("conv3_1r", "conv3_1t", "conv3_2t", "fc3_1r", "conv4_1r", "conv4_1t",
-                 "conv4_2t", "fc34_3r", "fc34_4r"):
-        port_conv_block(sd, f"{bb}.{name}", params, batch_stats, f"{fxb}/{name}")
-    # LinearBlocks: torch flattens NCHW pooled maps (C, 5, 5)/(C, 3, 3)
-    c_in3 = sd[f"{bb}.fc3_rt.linear.weight"].shape[1] // 25
-    set_in(params, f"{fxb}/fc3_rt/Dense_0/kernel",
-           linear_kernel(sd[f"{bb}.fc3_rt.linear.weight"], (5, 5, c_in3)))
-    set_in(params, f"{fxb}/fc3_rt/Dense_0/bias", sd[f"{bb}.fc3_rt.linear.bias"])
-    port_bn(sd, f"{bb}.fc3_rt.bn", params, batch_stats, f"{fxb}/fc3_rt/BatchNorm_0")
-    c_in4 = sd[f"{bb}.fc4_rt.linear.weight"].shape[1] // 9
-    set_in(params, f"{fxb}/fc4_rt/Dense_0/kernel",
-           linear_kernel(sd[f"{bb}.fc4_rt.linear.weight"], (3, 3, c_in4)))
-    set_in(params, f"{fxb}/fc4_rt/Dense_0/bias", sd[f"{bb}.fc4_rt.linear.bias"])
-    port_bn(sd, f"{bb}.fc4_rt.bn", params, batch_stats, f"{fxb}/fc4_rt/BatchNorm_0")
-    set_in(params, f"{fxb}/iou_predictor/kernel",
-           linear_kernel(sd[f"{bb}.iou_predictor.weight"]))
-    set_in(params, f"{fxb}/iou_predictor/bias", sd[f"{bb}.iou_predictor.bias"])
+    port_atom_iou_net(sd, params, batch_stats)
 
     return {"params": params, "batch_stats": batch_stats}
 
