@@ -204,6 +204,7 @@ def rts50(filter_size: int = 3, num_filters: int = 16, optim_iter: int = 5,
                                 final_conv=True, norm_scale=clf_norm_scale,
                                 out_dim=clf_feature_dim)
     clf_initializer = FilterInitializerLinear(filter_size=clf_filter_size,
+                                              filter_norm=False,
                                               feature_dim=clf_feature_dim)
     clf_optimizer = DiMPSteepestDescentGN(num_iter=optim_iter, feat_stride=16,
                                           init_step_length=0.9, init_filter_reg=0.1,

@@ -63,6 +63,7 @@ def kysnet_res50(filter_size: int = 4, optim_iter: int = 5,
                                 final_conv=True, norm_scale=norm_scale,
                                 out_dim=out_feature_dim)
     initializer = FilterInitializerLinear(filter_size=filter_size,
+                                          filter_norm=False,
                                           feature_dim=out_feature_dim)
     optimizer = DiMPSteepestDescentGN(
         num_iter=optim_iter, feat_stride=16, init_step_length=optim_init_step,

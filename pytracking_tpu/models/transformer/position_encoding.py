@@ -27,10 +27,10 @@ def position_embedding_sine(shape: Tuple[int, int], d_model: int,
     xx = jnp.broadcast_to(x[None, :], (H, W))
     pos = jnp.stack([xx, yy], axis=-1)                       # (H, W, 2) — x first
     bases = jnp.arange(1, depth + 1, dtype=jnp.float32)
-    ang = bases[None, None, None, :] * factor * math.pi * pos[..., None]  # (H,W,2,depth)
-    # reference concatenates sins for all bases then cosines, per input dim interleaved
-    # by the stack order (x, y): out[..., d] layout = [sin(b1..bD), cos(b1..bD)] per dim
-    sin = jnp.sin(ang)
-    cos = jnp.cos(ang)
-    emb = jnp.concatenate([sin, cos], axis=-1)               # (H, W, 2, 2*depth)
-    return emb.reshape(H, W, -1)
+    # reference layout (NerfPositionalEncoding.forward): cat over [sin(b·pos) for
+    # each basis b] then [cos(b·pos)] — so within each basis the (x, y) pair stays
+    # adjacent: [..., sin(b1·x), sin(b1·y), sin(b2·x), ..., cos(b1·x), cos(b1·y), ...]
+    ang = bases[None, None, :, None] * factor * math.pi * pos[..., None, :]  # (H,W,depth,2)
+    sin = jnp.sin(ang).reshape(H, W, -1)
+    cos = jnp.cos(ang).reshape(H, W, -1)
+    return jnp.concatenate([sin, cos], axis=-1)              # (H, W, 4*depth)

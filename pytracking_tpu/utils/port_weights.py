@@ -145,10 +145,173 @@ def port_dimpnet(state_dict: Dict[str, np.ndarray],
     # backbone
     port_resnet(sd, params, batch_stats, "feature_extractor", "feature_extractor",
                 layers, block)
+    # classifier (feature extractor + initializer + optimizer)
+    port_dimp_classifier(sd, params, batch_stats, "classifier", "classifier",
+                         clf_feat_blocks=clf_feat_blocks, block=block)
+    # IoU net
+    port_atom_iou_net(sd, params, batch_stats)
 
-    # classifier feature extractor: Sequential([blocks...,] final Conv2d, InstanceL2Norm)
-    fe = "classifier.feature_extractor"
-    fx = "classifier/feature_extractor"
+    return {"params": params, "batch_stats": batch_stats}
+
+
+def port_gn(sd: Dict[str, np.ndarray], torch_prefix: str, params: dict,
+            flax_path: str):
+    """torch GroupNorm weight/bias -> flax scale/bias."""
+    set_in(params, flax_path + "/scale", sd[torch_prefix + ".weight"])
+    set_in(params, flax_path + "/bias", sd[torch_prefix + ".bias"])
+
+
+def port_ln(sd: Dict[str, np.ndarray], torch_prefix: str, params: dict,
+            flax_path: str):
+    set_in(params, flax_path + "/scale", sd[torch_prefix + ".weight"])
+    set_in(params, flax_path + "/bias", sd[torch_prefix + ".bias"])
+
+
+def _mha_tree(in_proj_w, in_proj_b, out_w, out_b, nhead: int) -> dict:
+    """torch nn.MultiheadAttention params -> flax MultiHeadDotProductAttention tree.
+    in_proj_w (3d, d) = concat[q;k;v]; flax kernels are (d_in, heads, head_dim)."""
+    d = out_w.shape[0]
+    hd = d // nhead
+    qw, kw, vw = np.split(in_proj_w, 3, axis=0)        # each (d, d): y = x @ w.T
+    qb, kb, vb = np.split(in_proj_b, 3, axis=0)
+
+    def k_(w):
+        return np.ascontiguousarray(w.T).reshape(d, nhead, hd)
+
+    def b_(b):
+        return b.reshape(nhead, hd)
+
+    return {"query": {"kernel": k_(qw), "bias": b_(qb)},
+            "key": {"kernel": k_(kw), "bias": b_(kb)},
+            "value": {"kernel": k_(vw), "bias": b_(vb)},
+            "out": {"kernel": np.ascontiguousarray(out_w.T).reshape(nhead, hd, d),
+                    "bias": out_b}}
+
+
+def _stack_layers(trees: list) -> dict:
+    """Stack per-layer param dicts along a new leading axis (nn.scan layout)."""
+    out = {}
+    for k in trees[0]:
+        if isinstance(trees[0][k], dict):
+            out[k] = _stack_layers([t[k] for t in trees])
+        else:
+            out[k] = np.stack([t[k] for t in trees])
+    return out
+
+
+def port_detr_transformer(sd: Dict[str, np.ndarray], torch_prefix: str,
+                          params: dict, flax_path: str, num_enc: int = 6,
+                          num_dec: int = 6, nhead: int = 8):
+    """Reference DETR-style Transformer (ltr/models/transformer/transformer.py:66)
+    -> our nn.scan-stacked Transformer (models/transformer/transformer.py)."""
+    enc_layers = []
+    for i in range(num_enc):
+        tp = f"{torch_prefix}.encoder.layers.{i}"
+        enc_layers.append({
+            "_MHA_0": {"MultiHeadDotProductAttention_0": _mha_tree(
+                sd[f"{tp}.self_attn.in_proj_weight"],
+                sd[f"{tp}.self_attn.in_proj_bias"],
+                sd[f"{tp}.self_attn.out_proj.weight"],
+                sd[f"{tp}.self_attn.out_proj.bias"], nhead)},
+            "Dense_0": {"kernel": sd[f"{tp}.linear1.weight"].T,
+                        "bias": sd[f"{tp}.linear1.bias"]},
+            "Dense_1": {"kernel": sd[f"{tp}.linear2.weight"].T,
+                        "bias": sd[f"{tp}.linear2.bias"]},
+            "LayerNorm_0": {"scale": sd[f"{tp}.norm1.weight"],
+                            "bias": sd[f"{tp}.norm1.bias"]},
+            "LayerNorm_1": {"scale": sd[f"{tp}.norm2.weight"],
+                            "bias": sd[f"{tp}.norm2.bias"]},
+        })
+    set_in_tree(params, f"{flax_path}/encoder/layer", _stack_layers(enc_layers))
+
+    dec_layers = []
+    for i in range(num_dec):
+        tp = f"{torch_prefix}.decoder.layers.{i}"
+        dec_layers.append({
+            "_MHA_0": {"MultiHeadDotProductAttention_0": _mha_tree(
+                sd[f"{tp}.self_attn.in_proj_weight"],
+                sd[f"{tp}.self_attn.in_proj_bias"],
+                sd[f"{tp}.self_attn.out_proj.weight"],
+                sd[f"{tp}.self_attn.out_proj.bias"], nhead)},
+            "_MHA_1": {"MultiHeadDotProductAttention_0": _mha_tree(
+                sd[f"{tp}.multihead_attn.in_proj_weight"],
+                sd[f"{tp}.multihead_attn.in_proj_bias"],
+                sd[f"{tp}.multihead_attn.out_proj.weight"],
+                sd[f"{tp}.multihead_attn.out_proj.bias"], nhead)},
+            "Dense_0": {"kernel": sd[f"{tp}.linear1.weight"].T,
+                        "bias": sd[f"{tp}.linear1.bias"]},
+            "Dense_1": {"kernel": sd[f"{tp}.linear2.weight"].T,
+                        "bias": sd[f"{tp}.linear2.bias"]},
+            "LayerNorm_0": {"scale": sd[f"{tp}.norm1.weight"],
+                            "bias": sd[f"{tp}.norm1.bias"]},
+            "LayerNorm_1": {"scale": sd[f"{tp}.norm2.weight"],
+                            "bias": sd[f"{tp}.norm2.bias"]},
+            "LayerNorm_2": {"scale": sd[f"{tp}.norm3.weight"],
+                            "bias": sd[f"{tp}.norm3.bias"]},
+        })
+    set_in_tree(params, f"{flax_path}/decoder/layer", _stack_layers(dec_layers))
+    port_ln(sd, f"{torch_prefix}.decoder.norm", params, f"{flax_path}/dec_norm")
+
+
+def set_in_tree(tree: dict, path: str, sub: dict):
+    keys = path.split("/")
+    node = tree
+    for k in keys[:-1]:
+        node = node.setdefault(k, {})
+    node[keys[-1]] = sub
+
+
+def port_tomp_head(sd: Dict[str, np.ndarray], params: dict, batch_stats: dict,
+                   prefix: str = "head", flax_prefix: str = "head",
+                   nhead: int = 8, num_enc: int = 6, num_dec: int = 6):
+    """Reference ToMP Head (ltr/models/transformer/heads.py:17): filter predictor
+    (+DETR transformer), clf-feature conv, linear classifier, dense box regressor."""
+    # clf feature extractor: Sequential(Conv2d, InstanceL2Norm)
+    port_conv(sd, f"{prefix}.feature_extractor.0", params,
+              f"{flax_prefix}/feature_extractor/final_conv")
+
+    # filter predictor
+    fp = f"{prefix}.filter_predictor"
+    fx = f"{flax_prefix}/filter_predictor"
+    set_in(params, f"{fx}/query_embed_fg", sd[f"{fp}.query_embed_fg.weight"])
+    if f"{fp}.query_embed_test.weight" in sd:
+        set_in(params, f"{fx}/query_embed_test", sd[f"{fp}.query_embed_test.weight"])
+    # box_encoding MLP: Conv1d(4,d/4,1) BN ReLU Conv1d(d/4,d,1) BN ReLU Conv1d(d,d,1)
+    for conv_i, bn_i, lin in ((0, 1, "lin0"), (3, 4, "lin1"), (6, None, "lin2")):
+        w = sd[f"{fp}.box_encoding.{conv_i}.weight"][..., 0]       # (out, in)
+        set_in(params, f"{fx}/box_encoding/{lin}/kernel", np.ascontiguousarray(w.T))
+        set_in(params, f"{fx}/box_encoding/{lin}/bias",
+               sd[f"{fp}.box_encoding.{conv_i}.bias"])
+        if bn_i is not None:
+            bn = f"bn{conv_i // 3}"
+            port_bn(sd, f"{fp}.box_encoding.{bn_i}", params, batch_stats,
+                    f"{fx}/box_encoding/{bn}")
+    port_detr_transformer(sd, f"{fp}.transformer", params, f"{fx}/transformer",
+                          num_enc=num_enc, num_dec=num_dec, nhead=nhead)
+
+    # classifier / box regressor
+    set_in(params, f"{flax_prefix}/classifier/linear/kernel",
+           linear_kernel(sd[f"{prefix}.classifier.linear.weight"]))
+    set_in(params, f"{flax_prefix}/classifier/linear/bias",
+           sd[f"{prefix}.classifier.linear.bias"])
+    bb = f"{prefix}.bb_regressor"
+    fb = f"{flax_prefix}/bb_regressor"
+    if f"{bb}.linear.weight" in sd:
+        set_in(params, f"{fb}/linear/kernel", linear_kernel(sd[f"{bb}.linear.weight"]))
+        set_in(params, f"{fb}/linear/bias", sd[f"{bb}.linear.bias"])
+    for i, ti in enumerate((0, 3, 6, 9)):
+        port_conv(sd, f"{bb}.tower.{ti}", params, f"{fb}/tower{i}_conv")
+        port_gn(sd, f"{bb}.tower.{ti + 1}", params, f"{fb}/tower{i}_gn")
+    port_conv(sd, f"{bb}.bbreg_layer", params, f"{fb}/bbreg_layer")
+
+
+def port_dimp_classifier(sd: Dict[str, np.ndarray], params: dict, batch_stats: dict,
+                         prefix: str = "classifier", flax_prefix: str = "classifier",
+                         clf_feat_blocks: int = 0, block: str = "bottleneck"):
+    """Reference LinearFilter classifier subtree (feature extractor + initializer +
+    steepest-descent optimizer)."""
+    fe = f"{prefix}.feature_extractor"
+    fx = f"{flax_prefix}/feature_extractor"
     for i in range(clf_feat_blocks):
         tp = f"{fe}.{i}"
         fp = f"{fx}/block{i}"
@@ -158,17 +321,15 @@ def port_dimpnet(state_dict: Dict[str, np.ndarray],
             port_bn(sd, f"{tp}.bn{ci}", params, batch_stats, f"{fp}/bn{ci}")
         if f"{tp}.downsample.0.weight" in sd:
             port_conv(sd, f"{tp}.downsample.0", params, f"{fp}/downsample_conv")
-            port_bn(sd, f"{tp}.downsample.1", params, batch_stats, f"{fp}/downsample_bn")
-    # the final conv is the next sequential index
+            port_bn(sd, f"{tp}.downsample.1", params, batch_stats,
+                    f"{fp}/downsample_bn")
     port_conv(sd, f"{fe}.{clf_feat_blocks}", params, f"{fx}/final_conv")
 
-    # filter initializer
-    port_conv(sd, "classifier.filter_initializer.filter_conv", params,
-              "classifier/filter_initializer/filter_conv")
+    port_conv(sd, f"{prefix}.filter_initializer.filter_conv", params,
+              f"{flax_prefix}/filter_initializer/filter_conv")
 
-    # filter optimizer: scalars + 1x1 bin predictors
-    fo = "classifier.filter_optimizer"
-    fxo = "classifier/filter_optimizer"
+    fo = f"{prefix}.filter_optimizer"
+    fxo = f"{flax_prefix}/filter_optimizer"
     set_in(params, fxo + "/log_step_length", sd[fo + ".log_step_length"])
     set_in(params, fxo + "/filter_reg", sd[fo + ".filter_reg"])
     if fo + ".label_map_predictor.weight" in sd:
@@ -179,9 +340,60 @@ def port_dimpnet(state_dict: Dict[str, np.ndarray],
         set_in(params, fxo + "/spatial_weight_w",
                sd[fo + ".spatial_weight_predictor.weight"].reshape(-1))
 
-    # IoU net
-    port_atom_iou_net(sd, params, batch_stats)
 
+def port_kys_predictor(sd: Dict[str, np.ndarray], params: dict, batch_stats: dict,
+                       prefix: str = "predictor.predictor",
+                       flax_prefix: str = "predictor"):
+    """Reference KYS ResponsePredictor (ltr/models/kys/response_predictor.py:8)."""
+    for tseq, fname in (("cost_volume_proc1.0", "cvproc1_0"),
+                        ("cost_volume_proc1.1", "cvproc1_1"),
+                        ("cost_volume_proc2.0", "cvproc2_0"),
+                        ("cost_volume_proc2.1", "cvproc2_1")):
+        port_conv_block(sd, f"{prefix}.{tseq}", params, batch_stats,
+                        f"{flax_prefix}/{fname}")
+    i = 0
+    while f"{prefix}.representation_predictor.{i}.0.weight" in sd:
+        port_conv(sd, f"{prefix}.representation_predictor.{i}.0", params,
+                  f"{flax_prefix}/repr{i}/Conv_0")
+        i += 1
+    port_conv(sd, f"{prefix}.response_predictor.0.0", params,
+              f"{flax_prefix}/response_pred")
+    port_conv(sd, f"{prefix}.init_hidden_state_predictor.0.0", params,
+              f"{flax_prefix}/init_hidden")
+    port_conv(sd, f"{prefix}.is_target_predictor.0.0", params,
+              f"{flax_prefix}/is_target_0")
+    port_conv(sd, f"{prefix}.is_target_predictor.1.0", params,
+              f"{flax_prefix}/is_target_1")
+    for gate in ("conv_reset", "conv_update", "conv_state_new"):
+        port_conv(sd, f"{prefix}.state_predictor.{gate}", params,
+                  f"{flax_prefix}/state_predictor/{gate}")
+
+
+def port_kysnet(state_dict: Dict[str, np.ndarray]) -> dict:
+    """KYSnet checkpoint (reference ltr/models/tracking/kysnet.py:17) -> flax
+    variables. Torch prefixes: backbone_feature_extractor / dimp_classifier /
+    bb_regressor / predictor.predictor."""
+    sd = {k: np.asarray(v) for k, v in state_dict.items()}
+    params: dict = {}
+    batch_stats: dict = {}
+    port_resnet(sd, params, batch_stats, "backbone_feature_extractor",
+                "feature_extractor", (3, 4, 6, 3), "bottleneck")
+    port_dimp_classifier(sd, params, batch_stats, "dimp_classifier", "classifier")
+    port_atom_iou_net(sd, params, batch_stats)
+    port_kys_predictor(sd, params, batch_stats)
+    return {"params": params, "batch_stats": batch_stats}
+
+
+def port_tompnet(state_dict: Dict[str, np.ndarray],
+                 layers: Tuple[int, ...] = (3, 4, 6, 3)) -> dict:
+    """ToMPnet-50/101 checkpoint (reference ltr/models/tracking/tompnet.py:13)
+    -> flax variables."""
+    sd = {k: np.asarray(v) for k, v in state_dict.items()}
+    params: dict = {}
+    batch_stats: dict = {}
+    port_resnet(sd, params, batch_stats, "feature_extractor", "feature_extractor",
+                layers, "bottleneck")
+    port_tomp_head(sd, params, batch_stats)
     return {"params": params, "batch_stats": batch_stats}
 
 

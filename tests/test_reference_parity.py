@@ -68,10 +68,12 @@ def assert_close(mine, ref_nchw_tensor, atol, what, transpose=True):
 # ============================================================ DiMP family helper
 
 def _dimp_family_parity(ref, net, variables, backbone_layers=("layer2", "layer3"),
-                        with_iou=True, score_atol=2e-3):
+                        with_iou=True, score_atol=2e-3, ref_classifier=None):
     """Common comparisons for DiMPnet-structured nets: backbone, clf feat, filter
     init + optimizer + classify, IoU-Net. Returns (my_feat, ref_feat) for extra
     family-specific checks."""
+    if ref_classifier is None:
+        ref_classifier = ref.classifier
     g = torch.Generator().manual_seed(1)
     im = rand_images(g, 2)
 
@@ -92,8 +94,8 @@ def _dimp_family_parity(ref, net, variables, backbone_layers=("layer2", "layer3"
     train_feat_t = ref_clf.view(2, 1, *ref_clf.shape[-3:])
     bb_t = bb.view(2, 1, 4)
     with torch.no_grad():
-        ref_w, _, _ = ref.classifier.get_filter(train_feat_t, bb_t)
-        ref_scores = ref.classifier.classify(ref_w, train_feat_t)
+        ref_w, _, _ = ref_classifier.get_filter(train_feat_t, bb_t)
+        ref_scores = ref_classifier.classify(ref_w, train_feat_t)
 
     my_train_feat = my_clf.reshape(2, 1, *my_clf.shape[1:])
     my_w, _, _ = net.apply(
@@ -214,6 +216,123 @@ def test_atomnet_full_parity():
     my_iou = net.apply(variables, my_mod, my_iou_feat, jnp.asarray(props.numpy()),
                        method=lambda m, mo, f, p: m.iou_predict(mo, f, p))
     assert_close(my_iou, ref_iou, 2e-3, "iou prediction", transpose=False)
+
+
+# =================================================================== KYS
+
+def test_kysnet_full_parity():
+    import ltr.models.tracking.kysnet as ref_kysnet
+
+    from pytracking_tpu.models.kys.cost_volume import cost_volume_abs
+    from pytracking_tpu.models.tracking.kysnet import kysnet_res50
+
+    torch.manual_seed(0)
+    # kys recipe args (reference train_settings/kys/kys.py:110-114)
+    ref = ref_kysnet.kysnet_res50(
+        backbone_pretrained=False, optim_iter=3, cv_kernel_size=3,
+        cv_max_displacement=9, cv_stride=1, init_gauss_sigma=0.9,
+        train_feature_extractor=False, train_iounet=False, detach_length=0,
+        state_dim=8, representation_predictor_dims=(16,), conf_measure="entropy",
+        dimp_thresh=0.05)
+    ref.eval()
+    randomize_bn_stats(ref)
+    sd = {k: v.numpy() for k, v in ref.state_dict().items()}
+    variables = pw.port_kysnet(sd)
+    net = kysnet_res50(optim_iter=3, init_gauss_sigma=0.9, state_dim=8,
+                       representation_predictor_dims=(16,), conf_measure="entropy",
+                       dimp_thresh=0.05)
+    _dimp_family_parity(ref, net, variables, ref_classifier=ref.dimp_classifier)
+
+    # ---- motion branch: cost volume + response predictor, two steps
+    g = torch.Generator().manual_seed(3)
+    B, H, W, C, D = 2, 12, 12, 512, 8
+    feat_prev = torch.randn(B, C, H, W, generator=g)
+    feat_cur = torch.randn(B, C, H, W, generator=g)
+    dimp_score = torch.rand(B, 1, H, W, generator=g)
+    init_label = torch.rand(B, 1, H, W, generator=g)
+
+    with torch.no_grad():
+        ref_cv = ref.predictor.compute_cost_volume(feat_prev, feat_cur, True)
+    my_cv = cost_volume_abs(to_nhwc(feat_cur), to_nhwc(feat_prev),
+                            max_displacement=9, kernel_size=3)
+    np.testing.assert_allclose(np.asarray(my_cv), from_torch(ref_cv), atol=1e-2,
+                               rtol=1e-4, err_msg="cost volume")
+
+    with torch.no_grad():
+        ref_fused, ref_state, ref_aux = ref.predictor.predictor(
+            ref_cv, None, dimp_score, init_label=init_label)
+    my_fused, my_state, my_aux = net.apply(
+        variables, to_nhwc(feat_prev), to_nhwc(feat_cur), None,
+        to_nhwc(dimp_score), to_nhwc(init_label),
+        method=lambda m, fp, fc, s, d, i: m.predict_response(
+            fp, fc, s, d, init_label=i))
+    assert_close(my_fused, ref_fused, 1e-4, "kys fused response")
+    assert_close(my_state, ref_state, 1e-4, "kys state")
+    assert_close(my_aux["is_target_new"], ref_aux["is_target_new"], 1e-4,
+                 "kys is_target_new")
+
+    # second step threads the recurrent state
+    feat_next = torch.randn(B, C, H, W, generator=g)
+    dimp_score2 = torch.rand(B, 1, H, W, generator=g)
+    with torch.no_grad():
+        ref_cv2 = ref.predictor.compute_cost_volume(feat_cur, feat_next, True)
+        ref_fused2, ref_state2, _ = ref.predictor.predictor(
+            ref_cv2, ref_state, dimp_score2)
+    my_fused2, my_state2, _ = net.apply(
+        variables, to_nhwc(feat_cur), to_nhwc(feat_next), my_state,
+        to_nhwc(dimp_score2), None,
+        method=lambda m, fp, fc, s, d, i: m.predict_response(
+            fp, fc, s, d, init_label=i))
+    assert_close(my_fused2, ref_fused2, 1e-4, "kys fused response step2")
+    assert_close(my_state2, ref_state2, 1e-4, "kys state step2")
+
+
+# =================================================================== ToMP-50
+
+def test_tompnet50_full_parity():
+    import ltr.models.tracking.tompnet as ref_tompnet
+
+    from pytracking_tpu.models.tracking.tompnet import tompnet50
+
+    torch.manual_seed(0)
+    ref = ref_tompnet.tompnet50(backbone_pretrained=False, final_conv=True,
+                                head_feat_norm=True, out_feature_dim=512,
+                                feature_sz=18, frozen_backbone_layers=[])
+    ref.eval()
+    randomize_bn_stats(ref)
+    sd = {k: v.numpy() for k, v in ref.state_dict().items()}
+    variables = pw.port_tompnet(sd)
+    net = tompnet50()
+
+    g = torch.Generator().manual_seed(1)
+    Ns, size = 2, 144
+    h = w = size // 16
+    train_imgs = torch.rand((1, Ns, 3, size, size), generator=g) * 255.0
+    test_imgs = torch.rand((1, Ns, 3, size, size), generator=g) * 255.0
+    train_bb = torch.rand((1, Ns, 4), generator=g) * 40 + 10
+    train_label = torch.rand((1, Ns, h, w), generator=g)
+    train_ltrb = torch.rand((1, Ns, 4, h, w), generator=g) * 2
+
+    with torch.no_grad():
+        ref_scores, ref_bbox = ref(normalized(train_imgs.reshape(-1, 3, size, size)
+                                              ).reshape(train_imgs.shape),
+                                   normalized(test_imgs.reshape(-1, 3, size, size)
+                                              ).reshape(test_imgs.shape),
+                                   train_bb, train_label, train_ltrb)
+
+    def nhwc5(t):
+        return jnp.asarray(from_torch(t).transpose(0, 1, 3, 4, 2))
+
+    my_scores, my_bbox = net.apply(
+        variables, nhwc5(train_imgs), nhwc5(test_imgs),
+        jnp.asarray(from_torch(train_label)), nhwc5(train_ltrb), train=False)
+    np.testing.assert_allclose(
+        np.asarray(my_scores).reshape(from_torch(ref_scores).shape),
+        from_torch(ref_scores), atol=2e-3, rtol=1e-4, err_msg="tomp scores")
+    np.testing.assert_allclose(
+        np.asarray(my_bbox).transpose(0, 1, 4, 2, 3).reshape(
+            from_torch(ref_bbox).shape),
+        from_torch(ref_bbox), atol=2e-3, rtol=1e-4, err_msg="tomp bbox preds")
 
 
 # =================================================================== PrDiMP-50
