@@ -54,14 +54,21 @@ class Bottleneck(nn.Module):
     downsample: bool = False
     expansion: int = 4
     dtype: Any = None          # compute dtype (params stay float32)
+    stride_in_1x1: bool = False
+    # stride_in_1x1=True is the Caffe2/Detectron convention (stride on conv1, not
+    # conv2) used by the reference's maskrcnn backbone (resnet_mrcnn.py:21-31),
+    # which LWL/RTS checkpoints are trained with.
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         identity = x
-        out = nn.Conv(self.planes, (1, 1), use_bias=False, dtype=self.dtype, name="conv1")(x)
+        s1 = self.stride if self.stride_in_1x1 else 1
+        s3 = 1 if self.stride_in_1x1 else self.stride
+        out = nn.Conv(self.planes, (1, 1), strides=(s1, s1), use_bias=False,
+                      dtype=self.dtype, name="conv1")(x)
         out = nn.BatchNorm(use_running_average=not train, momentum=0.9, dtype=self.dtype, name="bn1")(out)
         out = nn.relu(out)
-        out = nn.Conv(self.planes, (3, 3), strides=(self.stride, self.stride),
+        out = nn.Conv(self.planes, (3, 3), strides=(s3, s3),
                       padding=[(self.dilation, self.dilation)] * 2,
                       kernel_dilation=(self.dilation, self.dilation), use_bias=False, dtype=self.dtype,
                       name="conv2")(out)
@@ -93,6 +100,7 @@ class ResNet(nn.Module):
     output_layers: Tuple[str, ...] = ("layer2", "layer3")
     dilation_factor: int = 1
     base_width: int = 64
+    stride_in_1x1: bool = False   # Detectron/maskrcnn stride convention (LWL/RTS)
     dtype: Any = None
     # compute dtype for convs/BN (e.g. jnp.bfloat16: halves HBM traffic + doubles MXU
     # rate on TPU); parameters remain float32, outputs are cast back to float32
@@ -129,9 +137,12 @@ class ResNet(nn.Module):
             for b in range(self.layers[stage]):
                 stride = strides[stage] if b == 0 else 1
                 need_ds = (b == 0) and (stride != 1 or in_ch != planes[stage] * expansion)
+                kw = {}
+                if self.block != "basic":
+                    kw["stride_in_1x1"] = self.stride_in_1x1
                 x = Block(planes[stage], stride=stride, dilation=dilations[stage],
                           downsample=need_ds, dtype=self.dtype,
-                          name=f"layer{stage + 1}_{b}")(x, train=train)
+                          name=f"layer{stage + 1}_{b}", **kw)(x, train=train)
                 in_ch = planes[stage] * expansion
             name = f"layer{stage + 1}"
             if name in self.output_layers:
@@ -154,6 +165,17 @@ def resnet50(output_layers=("layer2", "layer3"), dilation_factor=1, dtype=None) 
                   dtype=dtype)
 
 
+def resnet50_mrcnn(output_layers=("layer1", "layer2", "layer3", "layer4"),
+                   dilation_factor=1, dtype=None) -> ResNet:
+    """Maskrcnn-benchmark ResNet-50 (reference ltr/models/backbone/resnet_mrcnn.py):
+    Detectron stride-in-1x1 convention. Pair with `normalize_image_bgr255` — the
+    pretrained weights are Caffe2 BGR-255 models (reference
+    pytracking/parameter/lwl/lwl_ytvos.py:35-37)."""
+    return ResNet(block="bottleneck", layers=(3, 4, 6, 3),
+                  output_layers=tuple(output_layers), dilation_factor=dilation_factor,
+                  stride_in_1x1=True, dtype=dtype)
+
+
 def resnet101(output_layers=("layer2", "layer3"), dilation_factor=1, dtype=None) -> ResNet:
     """ResNet-101 (for ToMP-101; reference resnet.py:284)."""
     return ResNet(block="bottleneck", layers=(3, 4, 23, 3),
@@ -169,3 +191,14 @@ def normalize_image(im: jnp.ndarray) -> jnp.ndarray:
     """ImageNet mean/std normalization of a 0-255 NHWC image
     (reference features/net_wrappers.py:55-68)."""
     return (im / 255.0 - IMAGENET_MEAN) / IMAGENET_STD
+
+
+CAFFE_BGR_MEAN = jnp.array([102.9801, 115.9465, 122.7717], jnp.float32)
+
+
+def normalize_image_bgr255(im: jnp.ndarray) -> jnp.ndarray:
+    """Caffe2 'bgr255' normalization for maskrcnn backbones: RGB 0-255 input is
+    channel-flipped to BGR and mean-subtracted, std 1 (reference
+    features/net_wrappers.py:55-68 with image_format='bgr255',
+    parameter/lwl/lwl_ytvos.py:35-37)."""
+    return im[..., ::-1] - CAFFE_BGR_MEAN

@@ -21,6 +21,41 @@ def _interp(x: jnp.ndarray, size: Tuple[int, int], method: str = "bilinear"):
     return jax.image.resize(x, x.shape[:-3] + (size[0], size[1], x.shape[-1]), method)
 
 
+def _cubic_kernel(t: jnp.ndarray, a: float = -0.75) -> jnp.ndarray:
+    """torch/OpenCV bicubic kernel (a = -0.75; jax.image's 'cubic' uses the Keys
+    a = -0.5 kernel, which does NOT match torch F.interpolate)."""
+    at = jnp.abs(t)
+    return jnp.where(
+        at <= 1.0, ((a + 2.0) * at - (a + 3.0)) * at * at + 1.0,
+        jnp.where(at < 2.0, (((at - 5.0) * at + 8.0) * at - 4.0) * a, 0.0))
+
+
+def _bicubic_axis_weights(out_size: int, in_size: int) -> jnp.ndarray:
+    """(out, in) weight matrix reproducing torch bicubic align_corners=False with
+    clamped (replicate) borders. Static shapes -> computed at trace time."""
+    dst = jnp.arange(out_size, dtype=jnp.float32)
+    src = (dst + 0.5) * (in_size / out_size) - 0.5
+    i0 = jnp.floor(src).astype(jnp.int32)
+    W = jnp.zeros((out_size, in_size), jnp.float32)
+    rows = jnp.arange(out_size)
+    for k in range(-1, 3):
+        idx = i0 + k
+        w = _cubic_kernel(src - idx.astype(jnp.float32))
+        W = W.at[rows, jnp.clip(idx, 0, in_size - 1)].add(w)
+    return W
+
+
+def _bicubic_resize(x: jnp.ndarray, size: Tuple[int, int]) -> jnp.ndarray:
+    """(..., H, W, C) -> (..., size[0], size[1], C), exact torch bicubic semantics,
+    as two MXU matmuls (separable kernel)."""
+    H, W = x.shape[-3], x.shape[-2]
+    wy = _bicubic_axis_weights(size[0], H)
+    wx = _bicubic_axis_weights(size[1], W)
+    x = jnp.einsum("oh,...hwc->...owc", wy, x, preferred_element_type=jnp.float32)
+    return jnp.einsum("pw,...owc->...opc", wx, x,
+                      preferred_element_type=jnp.float32)
+
+
 def _conv(oc, k, name=None):
     return nn.Conv(oc, (k, k), padding=[(k // 2, k // 2)] * 2, name=name)
 
@@ -86,11 +121,9 @@ class Upsampler(nn.Module):
 
     @nn.compact
     def __call__(self, x, image_size: Tuple[int, int]):
-        x = jax.image.resize(x, x.shape[:-3] + (2 * x.shape[-3], 2 * x.shape[-2],
-                                                x.shape[-1]), "cubic")
+        x = _bicubic_resize(x, (2 * x.shape[-3], 2 * x.shape[-2]))
         x = nn.relu(_conv(self.in_channels // 2, 3, "conv1")(x))
-        x = jax.image.resize(x, x.shape[:-3] + (image_size[0], image_size[1],
-                                                x.shape[-1]), "cubic")
+        x = _bicubic_resize(x, (image_size[0], image_size[1]))
         return _conv(1, 3, "conv2")(x)
 
 

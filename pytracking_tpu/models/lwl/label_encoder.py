@@ -12,8 +12,36 @@ from __future__ import annotations
 import flax.linen as nn
 import jax.numpy as jnp
 
-from pytracking_tpu.models.backbones.resnet import BasicBlock
 from pytracking_tpu.models.layers.blocks import ConvBlock
+
+
+class SegBasicBlock(nn.Module):
+    """Reference ltr BasicBlock as instantiated by the label encoders
+    (label_encoder.py:16-20): bias-free 3x3 convs with OPTIONAL BatchNorm
+    (use_bn_in_label_enc=False in the lwl/rts recipes) and a 3x3 downsample conv
+    WITH bias and no norm."""
+    planes: int
+    stride: int = 1
+    use_bn: bool = True
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        s = (self.stride, self.stride)
+        pad = [(1, 1), (1, 1)]
+        out = nn.Conv(self.planes, (3, 3), strides=s, padding=pad, use_bias=False,
+                      name="conv1")(x)
+        if self.use_bn:
+            out = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                               name="bn1")(out)
+        out = nn.relu(out)
+        out = nn.Conv(self.planes, (3, 3), padding=pad, use_bias=False,
+                      name="conv2")(out)
+        if self.use_bn:
+            out = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                               name="bn2")(out)
+        identity = nn.Conv(self.planes, (3, 3), strides=s, padding=pad,
+                           use_bias=True, name="downsample")(x)
+        return nn.relu(out + identity)
 
 
 class ResidualDS16SW(nn.Module):
@@ -30,10 +58,10 @@ class ResidualDS16SW(nn.Module):
         x = ConvBlock(self.layer_dims[0], 3, stride=2, batch_norm=self.use_bn,
                       name="conv_block")(x, train=train)
         x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=[(1, 1), (1, 1)])
-        x = BasicBlock(self.layer_dims[1], stride=2, downsample=True,
-                       name="res1")(x, train=train)
-        x = BasicBlock(self.layer_dims[2], stride=2, downsample=True,
-                       name="res2")(x, train=train)
+        x = SegBasicBlock(self.layer_dims[1], stride=2, use_bn=self.use_bn,
+                          name="res1")(x, train=train)
+        x = SegBasicBlock(self.layer_dims[2], stride=2, use_bn=self.use_bn,
+                          name="res2")(x, train=train)
         label = ConvBlock(self.layer_dims[3], 3, batch_norm=self.use_bn,
                           name="label_pred")(x, train=train)
         sw = nn.Conv(self.layer_dims[3], (3, 3), padding=[(1, 1), (1, 1)],
@@ -74,14 +102,14 @@ class ResidualDS16FeatSWBox(nn.Module):
         x = ConvBlock(self.layer_dims[0], 3, stride=2, batch_norm=self.use_bn,
                       name="conv_block")(prior, train=train)
         x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=[(1, 1), (1, 1)])
-        x = BasicBlock(self.layer_dims[1], stride=2, downsample=True,
-                       name="res1")(x, train=train)
-        x = BasicBlock(self.layer_dims[2], stride=2, downsample=True,
-                       name="res2")(x, train=train)
+        x = SegBasicBlock(self.layer_dims[1], stride=2, use_bn=self.use_bn,
+                          name="res1")(x, train=train)
+        x = SegBasicBlock(self.layer_dims[2], stride=2, use_bn=self.use_bn,
+                          name="res2")(x, train=train)
         f = feat.reshape((-1,) + feat.shape[2:])
         x = jnp.concatenate([x, f], axis=-1)
-        x = BasicBlock(self.layer_dims[3], stride=1, downsample=True,
-                       name="res3")(x, train=train)
+        x = SegBasicBlock(self.layer_dims[3], stride=1, use_bn=self.use_bn,
+                          name="res3")(x, train=train)
         label = ConvBlock(self.layer_dims[4], 3, batch_norm=self.use_bn,
                           name="label_pred")(x, train=train)
         sw = nn.Conv(self.layer_dims[4], (3, 3), padding=[(1, 1), (1, 1)],

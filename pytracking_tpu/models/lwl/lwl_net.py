@@ -30,9 +30,13 @@ class LWTLNet(nn.Module):
     label_encoder: ResidualDS16SW
     target_model_input_layer: str = "layer3"
     decoder_input_layers: Tuple[str, ...] = ("layer4", "layer3", "layer2", "layer1")
+    backbone_norm: str = "bgr255"   # mrcnn backbones are Caffe2 BGR-255 models
 
     def extract_backbone(self, im: jnp.ndarray, train: bool = False):
-        x = backbones.normalize_image(im)
+        if self.backbone_norm == "bgr255":
+            x = backbones.normalize_image_bgr255(im)
+        else:
+            x = backbones.normalize_image(im)
         return self.feature_extractor(x, train=train)
 
     def extract_target_model_features(self, backbone_feat, train: bool = False):
@@ -125,17 +129,27 @@ class LWTLNet(nn.Module):
 
 def steepest_descent_resnet50(filter_size: int = 3, num_filters: int = 16,
                               optim_iter: int = 5, optim_init_reg: float = 0.01,
-                              clf_feat_blocks: int = 1, clf_feat_norm: bool = True,
-                              final_conv: bool = False, out_feature_dim: int = 512,
+                              clf_feat_blocks: int = 0, clf_feat_norm: bool = True,
+                              final_conv: bool = True, out_feature_dim: int = 512,
                               target_model_input_layer: str = "layer3",
                               decoder_input_layers=("layer4", "layer3", "layer2",
                                                     "layer1"),
                               label_encoder_dims=(16, 32, 64),
                               decoder_mdim: int = 64,
-                              use_bn_in_label_enc: bool = True) -> LWTLNet:
-    """LWL net (reference lwl_net.py:147-209, recipe train_settings/lwl/lwl_stage2.py)."""
-    backbone = backbones.resnet50(output_layers=("layer1", "layer2", "layer3",
-                                                 "layer4"))
+                              use_bn_in_label_enc: bool = False,
+                              backbone_type: str = "mrcnn") -> LWTLNet:
+    """LWL net. Defaults are the lwl_stage2 recipe values (reference
+    lwl_net.py:147-209, train_settings/lwl/lwl_stage2.py:94-102): maskrcnn
+    backbone (BGR-255), clf_feat_blocks=0 + final_conv, no BN in the label
+    encoder."""
+    if backbone_type == "mrcnn":
+        backbone = backbones.resnet50_mrcnn(output_layers=("layer1", "layer2",
+                                                           "layer3", "layer4"))
+        norm = "bgr255"
+    else:
+        backbone = backbones.resnet50(output_layers=("layer1", "layer2", "layer3",
+                                                     "layer4"))
+        norm = "imagenet"
     norm_scale = math.sqrt(1.0 / (out_feature_dim * filter_size * filter_size))
     tm_feat = ResidualBasicBlock(feature_dim=1024, num_blocks=clf_feat_blocks,
                                  l2norm=clf_feat_norm, final_conv=final_conv,
@@ -151,7 +165,8 @@ def steepest_descent_resnet50(filter_size: int = 3, num_filters: int = 16,
     return LWTLNet(feature_extractor=backbone, target_model=target_model,
                    decoder=decoder, label_encoder=label_encoder,
                    target_model_input_layer=target_model_input_layer,
-                   decoder_input_layers=tuple(decoder_input_layers))
+                   decoder_input_layers=tuple(decoder_input_layers),
+                   backbone_norm=norm)
 
 
 class LWTLBoxNet(LWTLNet):
@@ -217,4 +232,5 @@ def steepest_descent_resnet50_boxinit(filter_size: int = 3, num_filters: int = 1
                       label_encoder=base.label_encoder,
                       box_label_encoder=box_enc,
                       target_model_input_layer=base.target_model_input_layer,
-                      decoder_input_layers=base.decoder_input_layers)
+                      decoder_input_layers=base.decoder_input_layers,
+                      backbone_norm=base.backbone_norm)

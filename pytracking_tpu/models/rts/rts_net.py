@@ -81,9 +81,13 @@ class RTSNet(nn.Module):
     target_model_input_layer: str = "layer3"
     classification_layer: str = "layer3"
     decoder_input_layers: Tuple[str, ...] = ("layer4", "layer3", "layer2", "layer1")
+    backbone_norm: str = "bgr255"   # mrcnn backbone (Caffe2 BGR-255), as LWL
 
     def extract_backbone(self, im: jnp.ndarray, train: bool = False):
-        x = backbones.normalize_image(im)
+        if self.backbone_norm == "bgr255":
+            x = backbones.normalize_image_bgr255(im)
+        else:
+            x = backbones.normalize_image(im)
         return self.feature_extractor(x, train=train)
 
     # ---- segmentation branch (same surface as LWTLNet) ----

@@ -384,6 +384,74 @@ def port_kysnet(state_dict: Dict[str, np.ndarray]) -> dict:
     return {"params": params, "batch_stats": batch_stats}
 
 
+def port_lwl_label_encoder(sd: Dict[str, np.ndarray], params: dict,
+                           batch_stats: dict, prefix: str = "label_encoder",
+                           flax_prefix: str = "label_encoder",
+                           n_res: int = 2, res_offset: int = 1):
+    """Reference ResidualDS16SW / ResidualDS16SW_Clf (ltr/models/lwl/
+    label_encoder.py:9)."""
+    port_conv_block(sd, f"{prefix}.conv_block", params, batch_stats,
+                    f"{flax_prefix}/conv_block")
+    for i in range(res_offset, res_offset + n_res):
+        rp = f"{prefix}.res{i}"
+        fp = f"{flax_prefix}/res{i}"
+        port_conv(sd, f"{rp}.conv1", params, f"{fp}/conv1")
+        port_conv(sd, f"{rp}.conv2", params, f"{fp}/conv2")
+        port_conv(sd, f"{rp}.downsample", params, f"{fp}/downsample")
+        if f"{rp}.bn1.weight" in sd:
+            port_bn(sd, f"{rp}.bn1", params, batch_stats, f"{fp}/bn1")
+            port_bn(sd, f"{rp}.bn2", params, batch_stats, f"{fp}/bn2")
+    port_conv_block(sd, f"{prefix}.label_pred", params, batch_stats,
+                    f"{flax_prefix}/label_pred")
+    if f"{prefix}.samp_w_pred.weight" in sd:
+        port_conv(sd, f"{prefix}.samp_w_pred", params, f"{flax_prefix}/samp_w_pred")
+
+
+def port_lwl_decoder(sd: Dict[str, np.ndarray], params: dict, batch_stats: dict,
+                     prefix: str = "decoder", flax_prefix: str = "decoder",
+                     layers=("layer4", "layer3", "layer2", "layer1")):
+    """Reference LWTLDecoder (ltr/models/lwl/decoder.py)."""
+    for L in layers:
+        tse = f"{prefix}.TSE.{L}"
+        ftse = f"{flax_prefix}/TSE_{L}"
+        port_conv(sd, f"{tse}.reduce.0", params, f"{ftse}/reduce0")
+        port_conv(sd, f"{tse}.reduce.2", params, f"{ftse}/reduce1")
+        for i, t in enumerate((0, 2, 4)):
+            port_conv(sd, f"{tse}.transform.{t}", params, f"{ftse}/transform{i}")
+        for rrb in ("RRB1", "RRB2"):
+            rp = f"{prefix}.{rrb}.{L}"
+            fp = f"{flax_prefix}/{rrb}_{L}"
+            port_conv(sd, f"{rp}.conv1x1", params, f"{fp}/conv1x1")
+            port_conv(sd, f"{rp}.bblock.0", params, f"{fp}/bb0")
+            port_bn(sd, f"{rp}.bblock.1", params, batch_stats, f"{fp}/bn")
+            port_conv(sd, f"{rp}.bblock.3", params, f"{fp}/bb1")
+        cab = f"{prefix}.CAB.{L}"
+        fcab = f"{flax_prefix}/CAB_{L}"
+        port_conv(sd, f"{cab}.convreluconv.0", params, f"{fcab}/att0")
+        port_conv(sd, f"{cab}.convreluconv.2", params, f"{fcab}/att1")
+        if f"{prefix}.proj.{L}.0.weight" in sd:
+            port_conv(sd, f"{prefix}.proj.{L}.0", params, f"{flax_prefix}/proj_{L}")
+    port_conv(sd, f"{prefix}.project.conv1", params, f"{flax_prefix}/project/conv1")
+    port_conv(sd, f"{prefix}.project.conv2", params, f"{flax_prefix}/project/conv2")
+
+
+def port_lwlnet(state_dict: Dict[str, np.ndarray]) -> dict:
+    """LWL (LWTLNet) checkpoint (reference ltr/models/lwl/lwl_net.py:18) -> flax
+    variables. Backbone is the mrcnn ResNet-50 (same key names as torchvision)."""
+    sd = {k: np.asarray(v) for k, v in state_dict.items()}
+    params: dict = {}
+    batch_stats: dict = {}
+    port_resnet(sd, params, batch_stats, "feature_extractor", "feature_extractor",
+                (3, 4, 6, 3), "bottleneck")
+    port_conv(sd, "target_model.feature_extractor.0", params,
+              "target_model/feature_extractor/final_conv")
+    set_in(params, "target_model/filter_reg",
+           sd["target_model.filter_optimizer.residual_module.filter_reg"])
+    port_lwl_label_encoder(sd, params, batch_stats)
+    port_lwl_decoder(sd, params, batch_stats)
+    return {"params": params, "batch_stats": batch_stats}
+
+
 def port_tompnet(state_dict: Dict[str, np.ndarray],
                  layers: Tuple[int, ...] = (3, 4, 6, 3)) -> dict:
     """ToMPnet-50/101 checkpoint (reference ltr/models/tracking/tompnet.py:13)

@@ -312,6 +312,24 @@ def _install_prroi():
     sys.modules[name] = m
 
 
+def _patch_autograd_grad_for_tensorlist():
+    """torch>=2 rejects list-subclass (pytracking TensorList) arguments to
+    torch.autograd.grad; coerce sequence args to plain tuples so the reference's
+    GNSteepestDescent meta-optimizer runs."""
+    import torch
+    if getattr(torch.autograd.grad, "_tensorlist_patched", False):
+        return
+    _orig = torch.autograd.grad
+
+    def grad(outputs, inputs, grad_outputs=None, **kw):
+        def to_t(x):
+            return tuple(x) if isinstance(x, (list, tuple)) else x
+        return _orig(to_t(outputs), to_t(inputs), to_t(grad_outputs), **kw)
+
+    grad._tensorlist_patched = True
+    torch.autograd.grad = grad
+
+
 def install():
     for name in ("jpeg4py", "cv2", "visdom", "visdom.server", "pandas", "lvis",
                  "pycocotools", "pycocotools.coco", "pycocotools.mask"):
@@ -328,6 +346,7 @@ def install():
     if REFERENCE_ROOT not in sys.path:
         sys.path.append(REFERENCE_ROOT)
     _install_prroi()
+    _patch_autograd_grad_for_tensorlist()
 
 
 install()

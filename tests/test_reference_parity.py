@@ -287,6 +287,84 @@ def test_kysnet_full_parity():
     assert_close(my_state2, ref_state2, 1e-4, "kys state step2")
 
 
+# =================================================================== LWL
+
+def bgr255(im_raw: "torch.Tensor") -> "torch.Tensor":
+    """Caffe2 preprocessing for mrcnn backbones (reference net_wrappers.py with
+    image_format='bgr255', parameter/lwl/lwl_ytvos.py:35-37)."""
+    mean = torch.tensor([102.9801, 115.9465, 122.7717]).view(1, 3, 1, 1)
+    return im_raw.flip(1) - mean
+
+
+def test_lwlnet_full_parity():
+    import ltr.models.lwl.lwl_net as ref_lwl
+
+    from pytracking_tpu.models.lwl.lwl_net import steepest_descent_resnet50
+
+    torch.manual_seed(0)
+    # lwl_stage2 recipe args (reference train_settings/lwl/lwl_stage2.py:94-102)
+    ref = ref_lwl.steepest_descent_resnet50(
+        filter_size=3, num_filters=16, optim_iter=3, backbone_pretrained=False,
+        out_feature_dim=512, label_encoder_dims=(16, 32, 64),
+        use_bn_in_label_enc=False, clf_feat_blocks=0, final_conv=True,
+        backbone_type="mrcnn")
+    ref.eval()
+    randomize_bn_stats(ref)
+    sd = {k: v.numpy() for k, v in ref.state_dict().items()}
+    variables = pw.port_lwlnet(sd)
+    net = steepest_descent_resnet50(optim_iter=3)
+
+    g = torch.Generator().manual_seed(1)
+    size = 128
+    im = torch.rand((2, 3, size, size), generator=g) * 255.0
+    with torch.no_grad():
+        ref_feat = ref.extract_backbone_features(bgr255(im))
+    my_feat = net.apply(variables, jnp.asarray(from_torch(im).transpose(0, 2, 3, 1)),
+                        method=lambda m, x: m.extract_backbone(x))
+    for layer in ("layer1", "layer2", "layer3", "layer4"):
+        # bgr255 inputs make activations O(1e3); f32 accumulation noise scales
+        # accordingly — 0.05 absolute is still ~1e-5 relative at that magnitude
+        assert_close(my_feat[layer], ref_feat[layer], 5e-2, layer)
+
+    with torch.no_grad():
+        ref_tm = ref.extract_target_model_features(ref_feat)
+    my_tm = net.apply(variables, my_feat,
+                      method=lambda m, f: m.extract_target_model_features(f))
+    assert_close(my_tm, ref_tm, 1e-3, "target model features")
+
+    # label encoder on a synthetic mask
+    mask = torch.zeros((2, 1, size, size))
+    mask[0, 0, 30:70, 40:90] = 1.0
+    mask[1, 0, 10:40, 10:50] = 1.0
+    ref_tm_5d = ref_tm.view(2, 1, *ref_tm.shape[-3:])
+    with torch.no_grad():
+        ref_label, ref_sw = ref.label_encoder(mask, ref_tm_5d)
+    my_tm_5d = my_tm.reshape(2, 1, *my_tm.shape[1:])
+    my_label, my_sw = net.apply(variables, jnp.asarray(from_torch(mask)), my_tm_5d,
+                                method=lambda m, ma, f: m.label_encode(ma, f))
+    assert_close(my_label.reshape((-1,) + my_label.shape[2:]),
+                 ref_label.reshape(-1, *ref_label.shape[-3:]), 1e-4, "label enc")
+    assert_close(my_sw.reshape((-1,) + my_sw.shape[2:]),
+                 ref_sw.reshape(-1, *ref_sw.shape[-3:]), 1e-4, "sample weights")
+
+    # few-shot filter + segmentation decode for sequence 0
+    with torch.no_grad():
+        ref_filt, _, _ = ref.target_model.get_filter(ref_tm_5d, ref_label, ref_sw)
+        ref_feat_seq0 = {k: v[:1] for k, v in ref_feat.items()}
+        ref_mask_pred, _ = ref.segment_target(ref_filt[:1], ref_tm_5d[0, :1],
+                                              ref_feat_seq0)
+    my_filt, _, _ = net.apply(
+        variables, my_tm_5d, my_label, my_sw,
+        method=lambda m, f, l, w: m.tm_get_filter(f, l, w))
+    my_feat_seq0 = {k: v[:1] for k, v in my_feat.items()}
+    my_mask, _ = net.apply(
+        variables, my_filt[:1], my_tm_5d[0:1, 0:1], my_feat_seq0, (size, size),
+        method=lambda m, ft, tf, bf, s: m.segment_target(ft, tf, bf, s))
+    np.testing.assert_allclose(
+        np.asarray(my_mask), from_torch(ref_mask_pred).reshape(size, size),
+        atol=5e-3, rtol=1e-4, err_msg="lwl segmentation logits")
+
+
 # =================================================================== ToMP-50
 
 def test_tompnet50_full_parity():
