@@ -35,14 +35,15 @@ class LinearFilter(nn.Module):
         return self.feature_extractor(feat, train=train)
 
     def get_filter(self, feat: jnp.ndarray, bb: jnp.ndarray, num_iter=None,
-                   sample_weight=None, compute_losses: bool = False):
+                   sample_weight=None, compute_losses: bool = False, **opt_kwargs):
         """feat (N, S, H, W, C), bb (N, S, 4) -> optimized filter (S, fh, fw, C, 1)
-        (reference linear_filter.py:82-102)."""
+        (reference linear_filter.py:82-102). Extra kwargs (e.g. train_label for the
+        hinge optimizer) go to the filter optimizer."""
         weights = self.filter_initializer(feat, bb)
         if self.filter_optimizer is not None:
             weights, w_iters, losses = self.filter_optimizer(
                 weights, feat=feat, bb=bb, sample_weight=sample_weight,
-                num_iter=num_iter, compute_losses=compute_losses)
+                num_iter=num_iter, compute_losses=compute_losses, **opt_kwargs)
         else:
             w_iters, losses = weights[None], jnp.zeros((0,))
         return weights, w_iters, losses

@@ -17,7 +17,7 @@ import jax
 import jax.numpy as jnp
 
 from pytracking_tpu.models.backbones import resnet as backbones
-from pytracking_tpu.models.backbones.resnet import BasicBlock
+from pytracking_tpu.models.lwl.label_encoder import SegBasicBlock
 from pytracking_tpu.models.classifier.features import ResidualBottleneck
 from pytracking_tpu.models.classifier.initializer import FilterInitializerLinear
 from pytracking_tpu.models.classifier.linear_filter import LinearFilter
@@ -42,10 +42,10 @@ class ResidualDS16SWClf(nn.Module):
         x = ConvBlock(self.layer_dims[0], 3, batch_norm=self.use_bn,
                       name="conv_block")(x, train=train)
         x = nn.max_pool(x, (3, 3), strides=(1, 1), padding=[(1, 1), (1, 1)])
-        x = BasicBlock(self.layer_dims[1], stride=1, downsample=True,
-                       name="res1")(x, train=train)
-        x = BasicBlock(self.layer_dims[2], stride=1, downsample=True,
-                       name="res2")(x, train=train)
+        x = SegBasicBlock(self.layer_dims[1], stride=1, use_bn=self.use_bn,
+                          name="res1")(x, train=train)
+        x = SegBasicBlock(self.layer_dims[2], stride=1, use_bn=self.use_bn,
+                          name="res2")(x, train=train)
         label = ConvBlock(self.layer_dims[3], 3, batch_norm=self.use_bn,
                           name="label_pred")(x, train=train)
         sw = nn.Conv(self.layer_dims[3], (3, 3), padding=[(1, 1), (1, 1)],
@@ -111,9 +111,13 @@ class RTSNet(nn.Module):
         return self.classifier.extract_classification_feat(
             backbone_feat[self.classification_layer], train=train)
 
-    def clf_get_filter(self, feat, bb, num_iter=None, sample_weight=None):
+    def clf_get_filter(self, feat, bb, train_label=None, num_iter=None,
+                       sample_weight=None):
+        """The hinge optimizer takes EXTERNAL Gaussian labels (reference
+        clf_branch.py:348-349)."""
         return self.classifier.get_filter(feat, bb, num_iter=num_iter,
-                                          sample_weight=sample_weight)
+                                          sample_weight=sample_weight,
+                                          train_label=train_label)
 
     def clf_classify(self, weights, feat):
         return self.classifier.classify(weights, feat)
@@ -136,9 +140,12 @@ class RTSNet(nn.Module):
         return mask[0, :, :, 0], fused
 
     def __call__(self, train_imgs, test_imgs, train_masks, train_bb,
-                 num_refinement_iter: int = 2, train: bool = True):
+                 train_label=None, num_refinement_iter: int = 2,
+                 train: bool = True):
         """Training forward (condensed reference rts_net.py:114-220): learns both
-        branches and predicts masks for the test frames with score fusion."""
+        branches and predicts masks for the test frames with score fusion.
+        train_label (Ntr, Ns, h, w): external Gaussian labels for the hinge
+        classifier (reference passes them from RTSProcessing)."""
         Ntr, Ns = train_imgs.shape[0], train_imgs.shape[1]
         Nte = test_imgs.shape[0]
         H, W = train_imgs.shape[2], train_imgs.shape[3]
@@ -161,7 +168,20 @@ class RTSNet(nn.Module):
             te_bb_feat[self.classification_layer], train=train), Nte)
 
         # classifier branch
-        clf_filter, _, _ = self.classifier.get_filter(tr_clf, train_bb)
+        if train_label is None:
+            # fallback labels: Gaussians at the train boxes on the score grid
+            # (end-padded for the even filter size, like the data pipeline)
+            from pytracking_tpu.ops.dcf import gauss_2d
+            h, w = tr_clf.shape[2], tr_clf.shape[3]
+            ep = (self.classifier.filter_size + 1) % 2
+            ctr = (train_bb[..., :2] + train_bb[..., 2:] / 2).reshape(-1, 2)
+            ctr = ctr[:, ::-1] / 16.0 - jnp.array([h / 2, w / 2])
+            sig = 0.25 * jnp.sqrt(jnp.asarray(float(h * w)))
+            train_label = jax.vmap(
+                lambda c: gauss_2d((h, w), (sig, sig), c, (ep, ep)))(ctr)
+            train_label = train_label.reshape(Ntr, Ns, h + ep, w + ep)
+        clf_filter, _, _ = self.classifier.get_filter(tr_clf, train_bb,
+                                                      train_label=train_label)
         clf_scores = self.classifier.classify(clf_filter, te_clf)    # (Nte,Ns,h,w,1)
 
         # segmentation branch
@@ -182,44 +202,63 @@ class RTSNet(nn.Module):
 
 
 def rts50(filter_size: int = 3, num_filters: int = 16, optim_iter: int = 5,
-          out_feature_dim: int = 512, clf_filter_size: int = 4,
-          clf_feature_dim: int = 512, label_encoder_dims=(16, 32, 64),
-          decoder_mdim: int = 64) -> RTSNet:
-    """(reference rts_net.py:364-460 steepest_descent_resnet50 for RTS)."""
-    backbone = backbones.resnet50(output_layers=("layer1", "layer2", "layer3",
-                                                 "layer4"))
-    norm_scale = math.sqrt(1.0 / (out_feature_dim * filter_size * filter_size))
+          optim_init_reg: float = 0.01, out_feature_dim: int = 512,
+          clf_filter_size: int = 4, label_encoder_dims=(16, 32, 64),
+          decoder_mdim: int = 64, clf_hinge_threshold: float = 0.05,
+          clf_activation_leak: float = 0.1, clf_score_act: str = "relu",
+          use_bn_in_label_enc: bool = False, fusion_type: str = "add",
+          backbone_type: str = "mrcnn") -> RTSNet:
+    """RTS net with the rts50 recipe defaults (reference rts_net.py:417
+    steepest_descent_resnet50_with_clf_encoder, train_settings/rts/rts50.py:128-144):
+    maskrcnn backbone, clf_feat_blocks=0 + final_conv target-model features, and a
+    DiMP-style classifier driven by the HINGE residual + generic GN steepest descent
+    (NOT DiMPSteepestDescentGN — labels come from the tracker)."""
     from pytracking_tpu.models.classifier.features import ResidualBasicBlock
+    from pytracking_tpu.models.classifier.residual_modules import \
+        GNSteepestDescentHinge
 
-    tm_feat = ResidualBasicBlock(feature_dim=1024, num_blocks=1, l2norm=True,
-                                 final_conv=False, norm_scale=norm_scale,
+    if backbone_type == "mrcnn":
+        backbone = backbones.resnet50_mrcnn(output_layers=("layer1", "layer2",
+                                                           "layer3", "layer4"))
+        norm = "bgr255"
+    else:
+        backbone = backbones.resnet50(output_layers=("layer1", "layer2", "layer3",
+                                                     "layer4"))
+        norm = "imagenet"
+    norm_scale = math.sqrt(1.0 / (out_feature_dim * filter_size * filter_size))
+
+    tm_feat = ResidualBasicBlock(feature_dim=1024, num_blocks=0, l2norm=True,
+                                 final_conv=True, norm_scale=norm_scale,
                                  out_dim=out_feature_dim)
     target_model = LWLLinearFilter(filter_size=filter_size, num_filters=num_filters,
                                    feature_dim=out_feature_dim, num_iter=optim_iter,
+                                   init_filter_reg=optim_init_reg,
                                    feature_extractor=tm_feat)
     label_encoder = ResidualDS16SW(layer_dims=tuple(label_encoder_dims) +
-                                   (num_filters,))
+                                   (num_filters,), use_bn=use_bn_in_label_enc)
     decoder = LWTLDecoder(in_channels=num_filters, out_channels=decoder_mdim,
                           ft_layers=("layer4", "layer3", "layer2", "layer1"),
                           use_bn=True)
 
-    clf_norm_scale = math.sqrt(1.0 / (clf_feature_dim * clf_filter_size ** 2))
+    # classifier branch (reference build_base_components rts_net.py:322-356):
+    # residual_bottleneck features + linear initializer + hinge GN optimizer
     clf_fe = ResidualBottleneck(feature_dim=256, num_blocks=0, l2norm=True,
-                                final_conv=True, norm_scale=clf_norm_scale,
-                                out_dim=clf_feature_dim)
+                                final_conv=True, norm_scale=norm_scale,
+                                out_dim=out_feature_dim, final_stride=2)
     clf_initializer = FilterInitializerLinear(filter_size=clf_filter_size,
                                               filter_norm=False,
-                                              feature_dim=clf_feature_dim)
-    clf_optimizer = DiMPSteepestDescentGN(num_iter=optim_iter, feat_stride=16,
-                                          init_step_length=0.9, init_filter_reg=0.1,
-                                          num_dist_bins=100, bin_displacement=0.1,
-                                          mask_init_factor=3.0)
+                                              feature_dim=out_feature_dim)
+    clf_optimizer = GNSteepestDescentHinge(
+        num_iter=optim_iter, feat_stride=16, init_filter_reg=optim_init_reg,
+        hinge_threshold=clf_hinge_threshold, activation_leak=clf_activation_leak,
+        score_act=clf_score_act, learn_filter_reg=False)
     classifier = LinearFilter(filter_size=clf_filter_size,
                               filter_initializer=clf_initializer,
                               filter_optimizer=clf_optimizer,
                               feature_extractor=clf_fe)
-    clf_encoder = ResidualDS16SWClf(layer_dims=(16, 32, 64, num_filters))
-    fusion = LearnersFusion(fusion_type="concat", out_channels=num_filters)
+    clf_encoder = ResidualDS16SWClf(layer_dims=tuple(label_encoder_dims) +
+                                    (num_filters,), use_bn=use_bn_in_label_enc)
+    fusion = LearnersFusion(fusion_type=fusion_type)
     return RTSNet(feature_extractor=backbone, target_model=target_model,
                   decoder=decoder, label_encoder=label_encoder, classifier=classifier,
-                  clf_encoder=clf_encoder, fusion_module=fusion)
+                  clf_encoder=clf_encoder, fusion_module=fusion, backbone_norm=norm)

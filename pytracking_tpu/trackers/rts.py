@@ -58,6 +58,8 @@ class RTSState(LWLState):
     clf_filter: jnp.ndarray = None       # (1, fs, fs, C, 1)
     clf_mem_samples: jnp.ndarray = None  # (M, h, w, C)
     clf_mem_boxes: jnp.ndarray = None    # (M, 4)
+    clf_mem_labels: jnp.ndarray = None   # (M, h', w') Gaussian regression labels
+    clf_sigma: jnp.ndarray = None        # (2,) label sigma (fixed at init)
     clf_mem_weights: jnp.ndarray = None  # (M,)
     clf_num_stored: jnp.ndarray = None
     clf_prev_ind: jnp.ndarray = None
@@ -77,16 +79,29 @@ class RTSTracker(LWLTracker):
         return self.net.apply(self.variables, backbone_feat,
                               method=lambda m, f: m.extract_classification_feat(f))
 
-    def _clf_get_filter(self, feat, bb, num_iter):
+    def _clf_get_filter(self, feat, bb, labels, num_iter):
         return self.net.apply(
-            self.variables, feat, bb,
-            method=lambda m, f, b: m.clf_get_filter(f, b, num_iter=num_iter))
+            self.variables, feat, bb, labels,
+            method=lambda m, f, b, l: m.clf_get_filter(f, b, train_label=l,
+                                                       num_iter=num_iter))
 
-    def _clf_run_optimizer(self, weights, feat, bb, sw, num_iter):
+    def _clf_run_optimizer(self, weights, feat, bb, labels, sw, num_iter):
         return self.net.apply(
-            self.variables, weights, feat, bb,
-            method=lambda m, w, f, b: m.classifier.filter_optimizer(
-                w, feat=f, bb=b, sample_weight=sw, num_iter=num_iter))
+            self.variables, weights, feat, bb, labels,
+            method=lambda m, w, f, b, l: m.classifier.filter_optimizer(
+                w, feat=f, bb=b, train_label=l, sample_weight=sw,
+                num_iter=num_iter))
+
+    def _clf_label(self, feat_sz, sigma, pos, sample_pos, sample_scale, support):
+        """Gaussian regression label on the classifier score grid (reference
+        clf_branch.py:502-512 get_label_function): center in feature coords relative
+        to the crop center, end-padded for the even filter size."""
+        ksz_even = (self.params.clf_filter_size + 1) % 2
+        feat_sz_arr = jnp.array([float(feat_sz[0]), float(feat_sz[1])])
+        center = feat_sz_arr * (pos - sample_pos) / (sample_scale * support) \
+            + 0.5 * ksz_even
+        return dcf.label_function_spatial(feat_sz, sigma, center,
+                                          end_pad=(ksz_even, ksz_even))
 
     def _clf_classify(self, weights, feat):
         return self.net.apply(self.variables, weights, feat,
@@ -124,18 +139,31 @@ class RTSTracker(LWLTracker):
         h, w = clf_x.shape[1], clf_x.shape[2]
         flip_box = target_box.at[0].set(float(Ws) - target_box[0] - target_box[2])
         boxes = jnp.stack([target_box, flip_box])[:, None]
-        clf_filter, _, _ = self._clf_get_filter(feats, boxes, p.clf_net_opt_iter)
+
+        # Gaussian regression labels (reference clf_branch.py:479-498): sigma from
+        # the base target size; identical for the flipped sample (centered target)
+        clf_sigma = jnp.sqrt(jnp.prod(
+            jnp.array([h / float(Hs), w / float(Ws)]) * state.base_target_sz)) \
+            * p.clf_output_sigma_factor * jnp.ones(2)
+        init_label = self._clf_label((h, w), clf_sigma, state.pos, sample_pos,
+                                     sample_scale, support)
+        labels2 = jnp.stack([init_label, init_label])[:, None]   # (2, 1, h', w')
+        clf_filter, _, _ = self._clf_get_filter(feats, boxes, labels2,
+                                                p.clf_net_opt_iter)
 
         M = p.clf_sample_memory_size
         clf_mem = jnp.zeros((M,) + clf_x.shape[1:]).at[:2].set(
             jnp.concatenate([clf_x, flip_x]))
         clf_boxes = jnp.zeros((M, 4)).at[:2].set(jnp.stack([target_box, flip_box]))
+        clf_labels = jnp.zeros((M,) + init_label.shape).at[:2].set(
+            jnp.stack([init_label, init_label]))
         clf_w = jnp.zeros((M,)).at[:2].set(0.5)
 
         base = {f: getattr(state, f) for f in LWLState.__dataclass_fields__}
         return RTSState(
             **base,
             clf_filter=clf_filter, clf_mem_samples=clf_mem, clf_mem_boxes=clf_boxes,
+            clf_mem_labels=clf_labels, clf_sigma=clf_sigma,
             clf_mem_weights=clf_w, clf_num_stored=jnp.asarray(2, jnp.int32),
             clf_prev_ind=jnp.asarray(-1, jnp.int32),
             scale_history=jnp.full((p.scale_history_size,), state.target_scale),
@@ -243,15 +271,19 @@ class RTSTracker(LWLTracker):
         if p.update_classifier:
             target_box = _get_iounet_box(state.pos, state.target_sz, sample_pos,
                                          sample_scale, support)
-            state = self._clf_update_memory(state, clf_x[0], target_box,
+            hs, ws = clf_x.shape[1], clf_x.shape[2]
+            label = self._clf_label((hs, ws), state.clf_sigma, state.pos,
+                                    sample_pos, sample_scale, support)
+            state = self._clf_update_memory(state, clf_x[0], target_box, label,
                                             p.clf_learning_rate, now_found)
             skip = ((state.frame_num - 1) % p.clf_train_skipping) == 0
             feats = state.clf_mem_samples[:, None]
             boxes = state.clf_mem_boxes[:, None]
+            labels = state.clf_mem_labels[:, None]
             sw = state.clf_mem_weights[:, None]
             new_filter = lax.cond(
                 now_found & skip,
-                lambda f: self._clf_run_optimizer(f, feats, boxes, sw,
+                lambda f: self._clf_run_optimizer(f, feats, boxes, labels, sw,
                                                   p.clf_net_opt_update_iter)[0],
                 lambda f: f, state.clf_filter)
             state = state.replace(clf_filter=new_filter)
@@ -269,7 +301,8 @@ class RTSTracker(LWLTracker):
         return state, {"target_bbox": bbox, "segmentation_raw": seg_raw_im,
                        "segmentation": (seg_raw_im > 0.0).astype(jnp.uint8)}
 
-    def _clf_update_memory(self, state: RTSState, sample, target_box, lr, do_update):
+    def _clf_update_memory(self, state: RTSState, sample, target_box, label, lr,
+                           do_update):
         p = self.params
         sw = state.clf_mem_weights
         M = p.clf_sample_memory_size
@@ -304,6 +337,9 @@ class RTSTracker(LWLTracker):
             clf_mem_boxes=jnp.where(do_update,
                                     state.clf_mem_boxes.at[r_ind].set(target_box),
                                     state.clf_mem_boxes),
+            clf_mem_labels=jnp.where(do_update,
+                                     state.clf_mem_labels.at[r_ind].set(label),
+                                     state.clf_mem_labels),
             clf_mem_weights=jnp.where(do_update, sw_new, state.clf_mem_weights),
             clf_num_stored=jnp.where(do_update, jnp.minimum(num_stored + 1, M),
                                      num_stored),

@@ -452,6 +452,34 @@ def port_lwlnet(state_dict: Dict[str, np.ndarray]) -> dict:
     return {"params": params, "batch_stats": batch_stats}
 
 
+def port_rtsnet(state_dict: Dict[str, np.ndarray]) -> dict:
+    """RTS checkpoint (reference ltr/models/rts/rts_net.py:417
+    steepest_descent_resnet50_with_clf_encoder) -> flax variables: LWL parts +
+    hinge-classifier branch + score encoder + fusion."""
+    sd = {k: np.asarray(v) for k, v in state_dict.items()}
+    params: dict = {}
+    batch_stats: dict = {}
+    port_resnet(sd, params, batch_stats, "feature_extractor", "feature_extractor",
+                (3, 4, 6, 3), "bottleneck")
+    port_conv(sd, "target_model.feature_extractor.0", params,
+              "target_model/feature_extractor/final_conv")
+    set_in(params, "target_model/filter_reg",
+           sd["target_model.filter_optimizer.residual_module.filter_reg"])
+    port_lwl_label_encoder(sd, params, batch_stats)
+    port_lwl_decoder(sd, params, batch_stats)
+    # classifier branch: features + initializer (the hinge optimizer's filter_reg
+    # is a constant — learn_filter_reg=False, rts_net.py:328)
+    port_conv(sd, "classifier.feature_extractor.0", params,
+              "classifier/feature_extractor/final_conv")
+    port_conv(sd, "classifier.filter_initializer.filter_conv", params,
+              "classifier/filter_initializer/filter_conv")
+    port_lwl_label_encoder(sd, params, batch_stats, "clf_encoder", "clf_encoder")
+    if "fusion_module.fusion_conv1.weight" in sd:
+        port_conv(sd, "fusion_module.fusion_conv1", params,
+                  "fusion_module/fusion_conv1")
+    return {"params": params, "batch_stats": batch_stats}
+
+
 def port_tompnet(state_dict: Dict[str, np.ndarray],
                  layers: Tuple[int, ...] = (3, 4, 6, 3)) -> dict:
     """ToMPnet-50/101 checkpoint (reference ltr/models/tracking/tompnet.py:13)

@@ -365,6 +365,101 @@ def test_lwlnet_full_parity():
         atol=5e-3, rtol=1e-4, err_msg="lwl segmentation logits")
 
 
+# =================================================================== RTS
+
+def test_rtsnet_full_parity():
+    import ltr.models.rts.rts_net as ref_rts
+
+    from pytracking_tpu.models.rts.rts_net import rts50
+
+    torch.manual_seed(0)
+    # rts50 recipe args (reference train_settings/rts/rts50.py:128-144)
+    ref = ref_rts.steepest_descent_resnet50_with_clf_encoder(
+        filter_size=3, num_filters=16, optim_iter=3, backbone_pretrained=False,
+        out_feature_dim=512, label_encoder_dims=(16, 32, 64),
+        use_bn_in_label_enc=False, clf_feat_blocks=0, final_conv=True,
+        backbone_type="mrcnn", clf_filter_size=4, clf_score_act="relu",
+        clf_hinge_threshold=0.05, clf_activation_leak=0.1, clf_with_extractor=True,
+        clf_enc_input="sc")
+    ref.eval()
+    randomize_bn_stats(ref)
+    sd = {k: v.numpy() for k, v in ref.state_dict().items()}
+    variables = pw.port_rtsnet(sd)
+    net = rts50(optim_iter=3)
+
+    g = torch.Generator().manual_seed(1)
+    size = 128
+    im = torch.rand((2, 3, size, size), generator=g) * 255.0
+    with torch.no_grad():
+        ref_feat = ref.extract_backbone_features(bgr255(im))
+    my_feat = net.apply(variables, jnp.asarray(from_torch(im).transpose(0, 2, 3, 1)),
+                        method=lambda m, x: m.extract_backbone(x))
+
+    # ---- classifier branch: features, filter with external hinge labels, scores
+    with torch.no_grad():
+        ref_clf = ref.extract_classification_feat(ref_feat)
+    my_clf = net.apply(variables, my_feat,
+                       method=lambda m, f: m.extract_classification_feat(f))
+    assert_close(my_clf, ref_clf, 1e-3, "rts clf feat")
+
+    h, w = ref_clf.shape[-2:]
+    bb = torch.tensor([[20.0, 25.0, 40.0, 35.0], [30.0, 20.0, 30.0, 45.0]])
+    labels = torch.rand((2, 1, h + 1, w + 1), generator=g)  # even filter: +1 grid
+    ref_clf5 = ref_clf.view(2, 1, *ref_clf.shape[-3:])
+    with torch.no_grad():
+        ref_w, _, _ = ref.classifier.get_filter(ref_clf5, bb.view(2, 1, 4),
+                                                train_label=labels)
+        ref_scores = ref.classifier.classify(ref_w, ref_clf5)
+    my_clf5 = my_clf.reshape(2, 1, *my_clf.shape[1:])
+    my_w, _, _ = net.apply(
+        variables, my_clf5, jnp.asarray(bb.numpy()).reshape(2, 1, 4),
+        jnp.asarray(from_torch(labels)),
+        method=lambda m, f, b, l: m.clf_get_filter(f, b, train_label=l))
+    my_scores = net.apply(variables, my_w, my_clf5,
+                          method=lambda m, wt, f: m.clf_classify(wt, f))
+    np.testing.assert_allclose(np.asarray(my_scores)[..., 0],
+                               from_torch(ref_scores), atol=2e-3, rtol=1e-4,
+                               err_msg="rts clf scores")
+
+    # ---- score encoder + fused segmentation for sequence 0
+    with torch.no_grad():
+        ref_tm = ref.extract_target_model_features(ref_feat)
+        mask = torch.zeros((2, 1, size, size))
+        mask[0, 0, 30:70, 40:90] = 1.0
+        mask[1, 0, 10:40, 10:50] = 1.0
+        ref_tm5 = ref_tm.view(2, 1, *ref_tm.shape[-3:])
+        ref_label, ref_sw = ref.label_encoder(mask, ref_tm5)
+        ref_filt, _, _ = ref.target_model.get_filter(ref_tm5, ref_label, ref_sw)
+        ref_enc = ref.target_model.apply_target_model(
+            ref_filt[:1], ref_tm5[0, :1].view(1, 1, *ref_tm.shape[-3:]))
+        clf_score0 = ref_scores[0, :1].view(1, 1, h + 1, w + 1)
+        ref_clf_enc, _ = ref.clf_encoder(clf_score0.view(1, 1, h + 1, w + 1))
+        from ltr.models.lwl.utils import interpolate
+        enc_r = interpolate(ref_clf_enc.view(1, -1, h + 1, w + 1),
+                            ref_enc.shape[-2:]).unsqueeze(0)
+        fused = ref.fusion_module(ref_enc, enc_r)
+        ref_feat_seq0 = {k: v[:1] for k, v in ref_feat.items()}
+        ref_mask_pred, _ = ref.decoder(fused, ref_feat_seq0, (size, size))
+
+    my_tm = net.apply(variables, my_feat,
+                      method=lambda m, f: m.extract_target_model_features(f))
+    my_tm5 = my_tm.reshape(2, 1, *my_tm.shape[1:])
+    my_label, my_sw = net.apply(variables, jnp.asarray(from_torch(mask)), my_tm5,
+                                method=lambda m, ma, f: m.label_encode(ma, f))
+    my_filt, _, _ = net.apply(variables, my_tm5, my_label, my_sw,
+                              method=lambda m, f, l, sw_: m.tm_get_filter(f, l, sw_))
+    my_feat_seq0 = {k: v[:1] for k, v in my_feat.items()}
+    my_mask, _ = net.apply(
+        variables, my_filt[:1], my_tm5[0:1, 0:1], my_feat_seq0,
+        jnp.asarray(np.asarray(my_scores)[0:1, 0:1, :, :, 0]),
+        (size, size),
+        method=lambda m, ft, tf, bf, cs, s: m.segment_target_with_clf(
+            ft, tf, bf, cs, s))
+    np.testing.assert_allclose(
+        np.asarray(my_mask), from_torch(ref_mask_pred).reshape(size, size),
+        atol=5e-3, rtol=1e-4, err_msg="rts fused segmentation logits")
+
+
 # =================================================================== ToMP-50
 
 def test_tompnet50_full_parity():

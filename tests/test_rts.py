@@ -12,7 +12,8 @@ def tiny_rts_net():
                                                            ResidualBottleneck)
     from pytracking_tpu.models.classifier.initializer import FilterInitializerLinear
     from pytracking_tpu.models.classifier.linear_filter import LinearFilter
-    from pytracking_tpu.models.classifier.optimizer import DiMPSteepestDescentGN
+    from pytracking_tpu.models.classifier.residual_modules import \
+        GNSteepestDescentHinge
     from pytracking_tpu.models.lwl.decoder import LWTLDecoder
     from pytracking_tpu.models.lwl.label_encoder import ResidualDS16SW
     from pytracking_tpu.models.lwl.linear_filter import LWLLinearFilter
@@ -35,11 +36,13 @@ def tiny_rts_net():
                                 final_conv=True, norm_scale=math.sqrt(1 / (d * 16)),
                                 out_dim=d)
     classifier = LinearFilter(
-        filter_size=4, filter_initializer=FilterInitializerLinear(filter_size=4,
-                                                                  feature_dim=d),
-        filter_optimizer=DiMPSteepestDescentGN(num_iter=2, feat_stride=16,
-                                               num_dist_bins=10,
-                                               bin_displacement=0.5),
+        filter_size=4, filter_initializer=FilterInitializerLinear(
+            filter_size=4, filter_norm=False, feature_dim=d),
+        filter_optimizer=GNSteepestDescentHinge(num_iter=2, feat_stride=16,
+                                                hinge_threshold=0.05,
+                                                activation_leak=0.1,
+                                                score_act="relu",
+                                                learn_filter_reg=False),
         feature_extractor=clf_fe)
     return RTSNet(feature_extractor=backbone, target_model=target_model,
                   decoder=decoder, label_encoder=label_encoder,
