@@ -31,8 +31,12 @@ class LinearFilterClassifier(nn.Module):
     @nn.compact
     def __call__(self, feat, filt):
         if self.project_filter:
+            # filt (Ns, fh, fw, C, K): project each filter's C-vector — move C
+            # last so the reshape keeps channels together for K > 1 (TaMOs)
+            ft = jnp.swapaxes(filt, -1, -2)
             w = nn.Dense(self.num_channels, name="linear")(
-                filt.reshape(-1, self.num_channels)).reshape(filt.shape)
+                ft.reshape(-1, self.num_channels)).reshape(ft.shape)
+            w = jnp.swapaxes(w, -1, -2)
         else:
             w = filt
         return _apply_filter_ns(feat, w)

@@ -493,6 +493,62 @@ def port_tompnet(state_dict: Dict[str, np.ndarray],
     return {"params": params, "batch_stats": batch_stats}
 
 
+def port_box_encoding(sd: Dict[str, np.ndarray], params: dict, batch_stats: dict,
+                      prefix: str, flax_prefix: str):
+    """Conv1d-MLP box encoder (reference filter_predictor.py:6-16 MLP)."""
+    for conv_i, bn_i, lin in ((0, 1, "lin0"), (3, 4, "lin1"), (6, None, "lin2")):
+        w = sd[f"{prefix}.{conv_i}.weight"][..., 0]
+        set_in(params, f"{flax_prefix}/{lin}/kernel", np.ascontiguousarray(w.T))
+        set_in(params, f"{flax_prefix}/{lin}/bias", sd[f"{prefix}.{conv_i}.bias"])
+        if bn_i is not None:
+            port_bn(sd, f"{prefix}.{bn_i}", params, batch_stats,
+                    f"{flax_prefix}/bn{conv_i // 3}")
+
+
+def port_tamosnet(state_dict: Dict[str, np.ndarray],
+                  layers: Tuple[int, ...] = (3, 4, 6, 3),
+                  nhead: int = 8, num_enc: int = 6, num_dec: int = 6) -> dict:
+    """TaMOs checkpoint (reference ltr/models/tracking/tamosnet.py:13 + FPNHead)
+    -> flax variables. Our TaMOsNet flattens the head: head_feature_extractor /
+    filter_predictor / classifier / bb_regressor / fpn are top-level."""
+    sd = {k: np.asarray(v) for k, v in state_dict.items()}
+    params: dict = {}
+    batch_stats: dict = {}
+    port_resnet(sd, params, batch_stats, "feature_extractor", "feature_extractor",
+                layers, "bottleneck")
+    port_conv(sd, "head.feature_extractor.0", params,
+              "head_feature_extractor/final_conv")
+
+    fp = "head.filter_predictor"
+    set_in(params, "filter_predictor/query_embed_fg",
+           sd[f"{fp}.query_embed_fg.weight"])
+    port_box_encoding(sd, params, batch_stats, f"{fp}.box_encoding",
+                      "filter_predictor/box_encoding")
+    port_detr_transformer(sd, f"{fp}.transformer", params,
+                          "filter_predictor/transformer", num_enc=num_enc,
+                          num_dec=num_dec, nhead=nhead)
+
+    set_in(params, "classifier/linear/kernel",
+           linear_kernel(sd["head.classifier.linear.weight"]))
+    set_in(params, "classifier/linear/bias", sd["head.classifier.linear.bias"])
+    bb = "head.bb_regressor"
+    set_in(params, "bb_regressor/linear/kernel",
+           linear_kernel(sd[f"{bb}.linear.weight"]))
+    set_in(params, "bb_regressor/linear/bias", sd[f"{bb}.linear.bias"])
+    for i, ti in enumerate((0, 3, 6, 9)):
+        port_conv(sd, f"{bb}.tower.{ti}", params, f"bb_regressor/tower{i}_conv")
+        port_gn(sd, f"{bb}.tower.{ti + 1}", params, f"bb_regressor/tower{i}_gn")
+    port_conv(sd, f"{bb}.bbreg_layer", params, "bb_regressor/bbreg_layer")
+
+    # FPN: torchvision layout inner_blocks (1x1 laterals, feat2 then feat3) +
+    # layer_blocks (3x3 smoothing)
+    port_conv(sd, "head.fpn.fpn.inner_blocks.0", params, "fpn/lateral2")
+    port_conv(sd, "head.fpn.fpn.inner_blocks.1", params, "fpn/lateral3")
+    port_conv(sd, "head.fpn.fpn.layer_blocks.0", params, "fpn/smooth2")
+    port_conv(sd, "head.fpn.fpn.layer_blocks.1", params, "fpn/smooth3")
+    return {"params": params, "batch_stats": batch_stats}
+
+
 def load_torch_checkpoint(path: str) -> Dict[str, np.ndarray]:
     """Read a reference .pth.tar checkpoint (the 'net' field of the trainer state,
     reference ltr/admin/loading.py:35-117)."""

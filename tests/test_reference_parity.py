@@ -508,6 +508,65 @@ def test_tompnet50_full_parity():
         from_torch(ref_bbox), atol=2e-3, rtol=1e-4, err_msg="tomp bbox preds")
 
 
+# =================================================================== TaMOs-R50
+
+def test_tamosnet_resnet50_full_parity():
+    import ltr.models.tracking.tamosnet as ref_tamosnet
+
+    from pytracking_tpu.models.tracking.tamosnet import tamosnet_resnet50
+
+    torch.manual_seed(0)
+    # tamos_resnet50 recipe args (reference train_settings/tamos/tamos_resnet50.py)
+    ref = ref_tamosnet.tamosnet_resnet50(
+        backbone_pretrained=False, filter_size=1, head_feat_blocks=0,
+        head_feat_norm=True, final_conv=True, out_feature_dim=256,
+        feature_sz=(36, 24), head_layer=["layer2", "layer3"], num_tokens=10,
+        label_enc="gaussian", box_enc="ltrb_token",
+        fpn_head_cls_output_mode=["high"], fpn_head_bbreg_output_mode=["high"],
+        frozen_backbone_layers=[])
+    ref.eval()
+    randomize_bn_stats(ref)
+    sd = {k: v.numpy() for k, v in ref.state_dict().items()}
+    variables = pw.port_tamosnet(sd)
+    net = tamosnet_resnet50()
+
+    g = torch.Generator().manual_seed(1)
+    Ns, K, size = 1, 10, 144
+    h = w = size // 16
+    train_imgs = torch.rand((1, Ns, 3, size, size), generator=g) * 255.0
+    test_imgs = torch.rand((1, Ns, 3, size, size), generator=g) * 255.0
+    train_bb = torch.rand((1, Ns, 4), generator=g) * 40 + 10
+    train_label = torch.rand((1, Ns, K, h, w), generator=g)
+    train_ltrb = torch.rand((1, Ns, K, 4, h, w), generator=g) * 2
+
+    # snapshot inputs BEFORE the reference runs: its GOT predictor mutates its
+    # inputs in place (train_feat_seq += ... on a flatten() view)
+    my_args = (jnp.asarray(from_torch(train_imgs).transpose(0, 1, 3, 4, 2)),
+               jnp.asarray(from_torch(test_imgs).transpose(0, 1, 3, 4, 2)),
+               jnp.asarray(from_torch(train_label)),
+               jnp.asarray(from_torch(train_ltrb).transpose(0, 1, 2, 4, 5, 3)))
+    with torch.no_grad():
+        ref_scores, ref_bbox = ref(
+            normalized(train_imgs.reshape(-1, 3, size, size)).reshape(
+                train_imgs.shape),
+            normalized(test_imgs.reshape(-1, 3, size, size)).reshape(
+                test_imgs.shape),
+            train_bb, train_label, train_ltrb)
+    ref_s = from_torch(ref_scores["highres"])
+    ref_b = from_torch(ref_bbox["highres"])
+
+    my_scores, my_ltrb = net.apply(variables, *my_args, train=False)
+    # mine: scores (Nte, Ns, h2, w2, K); ref highres (Nte*Ns?, K, h2, w2)
+    my_s = np.asarray(my_scores)
+    my_s_nchw = my_s.transpose(0, 1, 4, 2, 3).reshape(ref_s.shape)
+    np.testing.assert_allclose(my_s_nchw, ref_s, atol=2e-3, rtol=1e-4,
+                               err_msg="tamos highres scores")
+    my_b = np.asarray(my_ltrb)           # (Nte, Ns, h2, w2, K, 4)
+    my_b_ref_layout = my_b.transpose(0, 1, 4, 5, 2, 3).reshape(ref_b.shape)
+    np.testing.assert_allclose(my_b_ref_layout, ref_b, atol=2e-3, rtol=1e-4,
+                               err_msg="tamos highres bbox preds")
+
+
 # =================================================================== PrDiMP-50
 
 def test_prdimp50_full_parity():
