@@ -71,13 +71,16 @@ class MultiHeadedAttention(nn.Module):
         v = nn.Dense(self.d_model, name="proj_v")(value)
 
         def split(x):
-            return x.reshape(x.shape[:-1] + (self.num_heads, dim))
+            # torch layout (reference superglue.py:41-46): channels split as
+            # (head_dim, heads) — head index fastest — so ported proj/merge
+            # weights keep their channel grouping
+            return x.reshape(x.shape[:-1] + (dim, self.num_heads))
 
         q, k, v = split(q), split(k), split(v)
-        scores = jnp.einsum("bnhd,bmhd->bhnm", q, k,
+        scores = jnp.einsum("bndh,bmdh->bhnm", q, k,
                             preferred_element_type=jnp.float32) / math.sqrt(dim)
         prob = jax.nn.softmax(scores, axis=-1)
-        out = jnp.einsum("bhnm,bmhd->bnhd", prob, v,
+        out = jnp.einsum("bhnm,bmdh->bndh", prob, v,
                          preferred_element_type=jnp.float32)
         return nn.Dense(self.d_model, name="merge")(
             out.reshape(out.shape[:-2] + (self.d_model,)))

@@ -26,10 +26,14 @@ class _ECOBackbone(nn.Module):
 
 
 def parameters() -> TrackerSpec:
+    """Reference feature stack (parameter/eco/default.py:92): ResNet18-VGG-m1
+    vggconv1 (pooled x2 -> stride 4) + layer3, power-2 normalized."""
+    from pytracking_tpu.models.backbones.vggm_resnet import resnet18_vggmconv1
+
     params = ECOParams()
     env = env_settings()
-    net = _ECOBackbone(backbones.resnet18(output_layers=("conv1", "layer3")))
+    net = _ECOBackbone(resnet18_vggmconv1(output_layers=("vggconv1", "layer3")))
     variables = load_or_init_variables(
         net, (jnp.zeros((1, 64, 64, 3)),),
-        cache_path=os.path.join(env.network_path, "eco_backbone_init.msgpack"))
+        cache_path=os.path.join(env.network_path, "eco_vggm_backbone_init.msgpack"))
     return TrackerSpec(params=params, net=net, variables=variables)

@@ -61,6 +61,11 @@ class ECOParams:
     # features: (stride, compressed_dim, output_sigma_factor, translation_weight,
     #            reg_window_edge)
     blocks: tuple = ((4, 16, 1 / 16, 0.4, 10e-3), (16, 64, 1 / 4, 0.6, 50e-3))
+    # backbone feature taps: (layer name, avg-pool stride); the reference default
+    # is ResNet18-VGG-m1 vggconv1 (stride 2, pooled x2) + layer3 (reference
+    # parameter/eco/default.py:92, features/featurebase.py:59-67)
+    feature_blocks: tuple = (("vggconv1", 2), ("layer3", 1))
+    normalize_power: Optional[int] = 2
     reg_window_min: float = 1e-4
     reg_window_power: int = 2
     # detection
@@ -118,13 +123,27 @@ class ECOTracker(BaseTracker):
     # ---------------------------------------------------------------- features
 
     def _backbone_blocks(self, im_patches):
-        """(B, s, s, 3) -> list of per-block features [(B, h_b, w_b, C_b)]."""
+        """(B, s, s, 3) -> list of per-block features [(B, h_b, w_b, C_b)]:
+        per-block avg pooling + power normalization (reference
+        features/featurebase.py:59-67)."""
+        p = self.params
         feats = self.net.apply(self.variables, im_patches,
                                method=lambda m, x: m.extract_backbone(x))
-        shallow = jax.lax.reduce_window(
-            feats["conv1"], -jnp.inf, jax.lax.max, (1, 3, 3, 1), (1, 2, 2, 1),
-            "SAME")  # stride 2 -> 4
-        return [shallow, feats["layer3"]]
+        out = []
+        for layer, pool in p.feature_blocks:
+            f = feats[layer]
+            if pool > 1:
+                f = jax.lax.reduce_window(
+                    f, 0.0, jax.lax.add, (1, pool, pool, 1), (1, pool, pool, 1),
+                    "VALID") / (pool * pool)
+            if p.normalize_power is not None:
+                q = p.normalize_power
+                n = f.shape[1] * f.shape[2] * f.shape[3]
+                norm = (jnp.sum(jnp.abs(f) ** q, axis=(1, 2, 3), keepdims=True)
+                        / n + 1e-10) ** (1.0 / q)
+                f = f / norm
+            out.append(f)
+        return out
 
     # ---------------------------------------------------------------- geometry
 

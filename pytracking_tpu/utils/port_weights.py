@@ -549,6 +549,102 @@ def port_tamosnet(state_dict: Dict[str, np.ndarray],
     return {"params": params, "batch_stats": batch_stats}
 
 
+def _conv1d_dense(sd: Dict[str, np.ndarray], torch_prefix: str, params: dict,
+                  flax_path: str):
+    """torch Conv1d(k=1) -> flax Dense."""
+    w = sd[torch_prefix + ".weight"][..., 0]       # (out, in)
+    set_in(params, flax_path + "/kernel", np.ascontiguousarray(w.T))
+    if torch_prefix + ".bias" in sd:
+        set_in(params, flax_path + "/bias", sd[torch_prefix + ".bias"])
+
+
+def port_tcm(state_dict: Dict[str, np.ndarray], num_gnn_layers: int = 2) -> dict:
+    """Target candidate matching net (KeepTrack; reference ltr/models/
+    target_candidate_matching/target_candidate_matching.py:90) -> flax variables."""
+    sd = {k: np.asarray(v) for k, v in state_dict.items()}
+    params: dict = {}
+    batch_stats: dict = {}
+    port_resnet(sd, params, batch_stats, "feature_extractor", "feature_extractor",
+                (3, 4, 6, 3), "bottleneck")
+    port_conv(sd, "descriptor_extractor.conv", params, "descriptor_extractor/conv")
+
+    m = "matcher"
+    set_in(params, "matcher/bin_score", sd[f"{m}.bin_score"])
+    # keypoint encoder: Conv1d MLP with BN (indices 0,3,6,9,12 convs / 1,4,7,10 BN)
+    for i, ci in enumerate((0, 3, 6, 9, 12)):
+        _conv1d_dense(sd, f"{m}.kenc.encoder.{ci}", params,
+                      f"matcher/kenc/encoder/lin{i}")
+        if ci != 12:
+            port_bn(sd, f"{m}.kenc.encoder.{ci + 1}", params, batch_stats,
+                    f"matcher/kenc/encoder/bn{i}")
+    # GNN layers: attn proj.0/1/2 = q/k/v, merge; mlp 0 (conv) 1 (BN) 3 (conv)
+    for i in range(2 * num_gnn_layers):
+        tp = f"{m}.gnn.layers.{i}.update"
+        fp = f"matcher/gnn/layer{i}"
+        for j, name in enumerate(("proj_q", "proj_k", "proj_v")):
+            _conv1d_dense(sd, f"{tp}.attn.proj.{j}", params, f"{fp}/attn/{name}")
+        _conv1d_dense(sd, f"{tp}.attn.merge", params, f"{fp}/attn/merge")
+        _conv1d_dense(sd, f"{tp}.mlp.0", params, f"{fp}/mlp/lin0")
+        port_bn(sd, f"{tp}.mlp.1", params, batch_stats, f"{fp}/mlp/bn0")
+        _conv1d_dense(sd, f"{tp}.mlp.3", params, f"{fp}/mlp/lin1")
+    _conv1d_dense(sd, f"{m}.final_proj", params, "matcher/final_proj")
+    return {"params": params, "batch_stats": batch_stats}
+
+
+def port_resnet18_vggm(state_dict: Dict[str, np.ndarray],
+                       flax_prefix: str = "") -> dict:
+    """ResNet18-VGG-m1 (reference ltr/models/backbone/resnet18_vggm.py:38) ->
+    flax variables for models.backbones.vggm_resnet.ResNet18VGGm1."""
+    sd = {"net." + k: np.asarray(v) for k, v in state_dict.items()}
+    params: dict = {}
+    batch_stats: dict = {}
+    fx = (flax_prefix + "/") if flax_prefix else ""
+    port_conv(sd, "net.vggmconv1", params, f"{fx}vggmconv1")
+    port_resnet(sd, params, batch_stats, "net", flax_prefix or "",
+                (2, 2, 2, 2), "basic")
+    if not flax_prefix:
+        # port_resnet wrote under the "" key when no prefix; flatten it
+        if "" in params:
+            params.update(params.pop(""))
+        if "" in batch_stats:
+            batch_stats.update(batch_stats.pop(""))
+    return {"params": params, "batch_stats": batch_stats}
+
+
+def port_mobilenetv3(state_dict: Dict[str, np.ndarray]) -> dict:
+    """MobileNetV3-LARGE (reference ltr/models/backbone/mobilenetv3.py:134) ->
+    flax variables for models.backbones.mobilenetv3.MobileNetV3Large."""
+    sd = {k: np.asarray(v) for k, v in state_dict.items()}
+    params: dict = {}
+    batch_stats: dict = {}
+    port_conv(sd, "init_conv.0", params, "init_conv")
+    port_bn(sd, "init_conv.1", params, batch_stats, "init_bn")
+    stage_sizes = (1, 2, 3, 4, 2, 3)
+    for s_i, n in enumerate(stage_sizes):
+        for b_i in range(n):
+            tp = f"layer{s_i + 1}" if n == 1 else f"layer{s_i + 1}.{b_i}"
+            fp = f"layer{s_i + 1}_{b_i}"
+            port_conv(sd, f"{tp}.conv.0", params, f"{fp}/expand_conv")
+            port_bn(sd, f"{tp}.conv.1", params, batch_stats, f"{fp}/expand_bn")
+            port_conv(sd, f"{tp}.depth_conv.0", params, f"{fp}/depth_conv")
+            port_bn(sd, f"{tp}.depth_conv.1", params, batch_stats, f"{fp}/depth_bn")
+            if f"{tp}.squeeze_block.dense.0.weight" in sd:
+                set_in(params, f"{fp}/se/fc0/kernel",
+                       linear_kernel(sd[f"{tp}.squeeze_block.dense.0.weight"]))
+                set_in(params, f"{fp}/se/fc0/bias",
+                       sd[f"{tp}.squeeze_block.dense.0.bias"])
+                set_in(params, f"{fp}/se/fc1/kernel",
+                       linear_kernel(sd[f"{tp}.squeeze_block.dense.2.weight"]))
+                set_in(params, f"{fp}/se/fc1/bias",
+                       sd[f"{tp}.squeeze_block.dense.2.bias"])
+            port_conv(sd, f"{tp}.point_conv.0", params, f"{fp}/point_conv")
+            port_bn(sd, f"{tp}.point_conv.1", params, batch_stats, f"{fp}/point_bn")
+    if "out_conv1.0.weight" in sd:
+        port_conv(sd, "out_conv1.0", params, "out_conv1")
+        port_bn(sd, "out_conv1.1", params, batch_stats, "out_bn1")
+    return {"params": params, "batch_stats": batch_stats}
+
+
 def load_torch_checkpoint(path: str) -> Dict[str, np.ndarray]:
     """Read a reference .pth.tar checkpoint (the 'net' field of the trainer state,
     reference ltr/admin/loading.py:35-117)."""

@@ -34,6 +34,7 @@ def test_eco_tracker_end_to_end():
         sample_memory_size=10, init_CG_iter=10, init_GN_iter=2, CG_iter=3,
         train_skipping=3, scale_factors=(1.0,),
         blocks=((4, 8, 1 / 16, 0.4, 10e-3), (16, 16, 1 / 4, 0.6, 50e-3)),
+        feature_blocks=(("conv1", 2), ("layer3", 1)),
         augmentation=(("fliplr", True), ("shift", ((4, 4), (-4, -4))),
                       ("dropout", (1, 0.2))))
 

@@ -567,6 +567,117 @@ def test_tamosnet_resnet50_full_parity():
                                err_msg="tamos highres bbox preds")
 
 
+# ================================================== Target candidate matching
+
+def test_tcm_full_parity():
+    import ltr.models.target_candidate_matching.target_candidate_matching as ref_tcm
+
+    from pytracking_tpu.models.tcm.target_candidate_matching import \
+        target_candidate_matching_net_resnet50
+
+    torch.manual_seed(0)
+    ref = ref_tcm.target_candidate_matching_net_resnet50(backbone_pretrained=False)
+    ref.eval()
+    randomize_bn_stats(ref)
+    sd = {k: v.numpy() for k, v in ref.state_dict().items()}
+    variables = pw.port_tcm(sd)
+    net = target_candidate_matching_net_resnet50(image_shape=(128, 128))
+
+    g = torch.Generator().manual_seed(1)
+    size = 128
+    im0 = torch.rand((1, 3, size, size), generator=g) * 255.0
+    im1 = torch.rand((1, 3, size, size), generator=g) * 255.0
+    K = 5
+    fsz = size // 16 + 1   # descriptor map is H/16 + 1 (k=4, pad=2)
+    tsm0 = torch.randint(0, fsz, (1, K, 2), generator=g)
+    tsm1 = torch.randint(0, fsz, (1, K, 2), generator=g)
+    imc0 = torch.rand((1, K, 2), generator=g) * size
+    imc1 = torch.rand((1, K, 2), generator=g) * size
+    s0 = torch.rand((1, K), generator=g)
+    s1 = torch.rand((1, K), generator=g)
+
+    with torch.no_grad():
+        f0 = ref.extract_backbone_features(normalized(im0))
+        f1 = ref.extract_backbone_features(normalized(im1))
+        d0 = ref.descriptor_extractor(f0["layer3"], tsm0)
+        d1 = ref.descriptor_extractor(f1["layer3"], tsm1)
+        pred = ref.matcher({
+            "descriptors0": d0, "descriptors1": d1,
+            "img_coords0": imc0.flip(-1), "img_coords1": imc1.flip(-1),
+            "scores0": s0, "scores1": s1,
+            "image_size0": [size, size], "image_size1": [size, size]})
+
+    my_f0 = net.apply(variables, jnp.asarray(from_torch(im0).transpose(0, 2, 3, 1)),
+                      method=lambda m, x: m.extract_backbone(x))
+    my_f1 = net.apply(variables, jnp.asarray(from_torch(im1).transpose(0, 2, 3, 1)),
+                      method=lambda m, x: m.extract_backbone(x))
+    my_d0 = net.apply(variables, my_f0, jnp.asarray(from_torch(tsm0)),
+                      method=lambda m, f, c: m.get_descriptors(f, c))
+    my_d1 = net.apply(variables, my_f1, jnp.asarray(from_torch(tsm1)),
+                      method=lambda m, f, c: m.get_descriptors(f, c))
+    # reference descriptors are channel-first (B, C, K)
+    np.testing.assert_allclose(np.asarray(my_d0),
+                               from_torch(d0).transpose(0, 2, 1), atol=2e-3,
+                               rtol=1e-4, err_msg="tcm descriptors")
+
+    my_pred = net.apply(
+        variables, jnp.asarray(from_torch(imc0.flip(-1))),
+        jnp.asarray(from_torch(imc1.flip(-1))), my_d0, my_d1,
+        jnp.asarray(from_torch(s0)), jnp.asarray(from_torch(s1)),
+        method=lambda m, c0, c1, dd0, dd1, ss0, ss1: m.match(c0, c1, dd0, dd1,
+                                                             ss0, ss1))
+    np.testing.assert_allclose(np.asarray(my_pred["log_assignment"]),
+                               from_torch(pred["log_assignment"]), atol=2e-3,
+                               rtol=1e-4, err_msg="tcm log assignment")
+
+
+# ====================================================== ECO backbones
+
+def test_resnet18_vggm_parity():
+    import ltr.models.backbone.resnet18_vggm as ref_mod
+
+    from pytracking_tpu.models.backbones.vggm_resnet import resnet18_vggmconv1
+
+    torch.manual_seed(0)
+    ref = ref_mod.resnet18_vggmconv1(None)   # random init, no checkpoint
+    ref.eval()
+    randomize_bn_stats(ref)
+    sd = {k: v.numpy() for k, v in ref.state_dict().items()}
+    variables = pw.port_resnet18_vggm(sd)
+    net = resnet18_vggmconv1(output_layers=("vggconv1", "layer3"))
+
+    g = torch.Generator().manual_seed(1)
+    im = normalized(rand_images(g, 2))
+    with torch.no_grad():
+        ref_out = ref(im, output_layers=["vggconv1", "layer3"])
+    my_out = net.apply(variables, to_nhwc(im))
+    assert_close(my_out["vggconv1"], ref_out["vggconv1"], 1e-3, "vggconv1")
+    assert_close(my_out["layer3"], ref_out["layer3"], 1e-3, "vggm layer3")
+
+
+def test_mobilenetv3_parity():
+    import ltr.models.backbone.mobilenetv3 as ref_mod
+
+    from pytracking_tpu.models.backbones.mobilenetv3 import mobilenet3
+
+    torch.manual_seed(0)
+    ref = ref_mod.MobileNetV3(model_mode="LARGE",
+                              output_layers=["init_conv", "layer5"])
+    ref.eval()
+    randomize_bn_stats(ref)
+    sd = {k: v.numpy() for k, v in ref.state_dict().items()}
+    variables = pw.port_mobilenetv3(sd)
+    net = mobilenet3(output_layers=("init_conv", "layer5"))
+
+    g = torch.Generator().manual_seed(1)
+    im = normalized(rand_images(g, 2))
+    with torch.no_grad():
+        ref_out = ref(im, output_layers=["init_conv", "layer5"])
+    my_out = net.apply(variables, to_nhwc(im))
+    assert_close(my_out["init_conv"], ref_out["init_conv"], 1e-3, "init_conv")
+    assert_close(my_out["layer5"], ref_out["layer5"], 1e-3, "mbv3 layer5")
+
+
 # =================================================================== PrDiMP-50
 
 def test_prdimp50_full_parity():
