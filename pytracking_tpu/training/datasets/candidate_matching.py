@@ -62,7 +62,12 @@ class CandidateMatchingSampler:
     def __init__(self, dataset: CandidateMatchingDataset,
                  samples_per_epoch: int = 1000, K: int = 8,
                  sup_modes=("self_sup", "partial_sup"), p_sup_modes=(0.5, 0.5),
-                 max_jitter: float = 4.0, feat_stride: int = 16):
+                 max_jitter: float = 4.0, feat_stride: int = 16,
+                 processing=None, score_map_sz=(23, 23)):
+        """With `processing` (a TargetCandidateMatchingProcessing) set, raw frame +
+        candidate data is routed through the reference crop/dropout/augmentation
+        pipeline (reference SequentialTargetCandidateMatchingSampler:599); without
+        it, the compact direct slot layout is produced."""
         self.dataset = dataset
         self.samples_per_epoch = samples_per_epoch
         self.K = K
@@ -70,12 +75,75 @@ class CandidateMatchingSampler:
         self.p_sup_modes = list(p_sup_modes)
         self.max_jitter = max_jitter
         self.feat_stride = feat_stride
+        self.processing = processing
+        self.score_map_sz = score_map_sz
         states = dataset.get_frame_states()
         self.usable = [p for s in ("target_only", "target_with_distractors")
                        for p in states.get(s, [])]
 
     def __len__(self):
         return self.samples_per_epoch
+
+    def _img_to_tsm(self, coords, sa_box):
+        sa = np.asarray(sa_box, np.float32)
+        r = np.round((coords[:, 0] - sa[1]) / sa[3] * (self.score_map_sz[0] - 1))
+        c = np.round((coords[:, 1] - sa[0]) / sa[2] * (self.score_map_sz[1] - 1))
+        return np.stack([np.clip(r, 0, self.score_map_sz[0] - 1),
+                         np.clip(c, 0, self.score_map_sz[1] - 1)], 1)
+
+    def _processed_item(self, index: int) -> dict:
+        """Reference-style route: raw data -> TargetCandidateMatchingProcessing."""
+        rng = random.Random(index)
+        mode = rng.choices(self.sup_modes, self.p_sup_modes)[0]
+        si, fi = self.usable[rng.randrange(len(self.usable))]
+        img0, fd0 = self.dataset.get_frame(si, fi)
+        sa0 = fd0.get("search_area_box") or [0, 0, img0.shape[1], img0.shape[0]]
+        c0 = self._img_to_tsm(np.asarray(fd0["coords"], np.float32), sa0)
+
+        if mode == "self_sup":
+            data = {"sup_mode": "self_sup", "img": [img0],
+                    "search_area_box": [np.asarray(sa0, np.float32)],
+                    "target_candidate_coords": [c0],
+                    "target_candidate_scores":
+                        [np.asarray(fd0["scores"], np.float32)]}
+        else:
+            name = self.dataset.sequence_list[si]
+            nxt = fi + 1 if str(fi + 1) in self.dataset.data[name] else fi
+            img1, fd1 = self.dataset.get_frame(si, nxt)
+            sa1 = fd1.get("search_area_box") or sa0
+            c1 = self._img_to_tsm(np.asarray(fd1["coords"], np.float32), sa1)
+
+            def anno_coord(fd, c, sa):
+                m = fd.get("match_idx", -1)
+                if m is not None and 0 <= m < len(c):
+                    return c[m]
+                return c[0] if len(c) else np.zeros(2, np.float32)
+
+            data = {"sup_mode": "partial_sup", "img": [img0, img1],
+                    "search_area_box": [np.asarray(sa0, np.float32),
+                                        np.asarray(sa1, np.float32)],
+                    "target_candidate_coords": [c0, c1],
+                    "target_candidate_scores":
+                        [np.asarray(fd0["scores"], np.float32),
+                         np.asarray(fd1["scores"], np.float32)],
+                    "target_anno_coord": [anno_coord(fd0, c0, sa0),
+                                          anno_coord(fd1, c1, sa1)]}
+        out = self.processing(data)
+        # remap to the TCM actor's batch keys
+        return {
+            "img0": out["img_cropped0"], "img1": out["img_cropped1"],
+            "tsm_coords0": np.asarray(out["candidate_tsm_coords0"], np.int32),
+            "tsm_coords1": np.asarray(out["candidate_tsm_coords1"], np.int32),
+            "img_coords0": np.asarray(out["candidate_img_coords0"],
+                                      np.float32)[:, ::-1].copy(),
+            "img_coords1": np.asarray(out["candidate_img_coords1"],
+                                      np.float32)[:, ::-1].copy(),
+            "scores0": np.asarray(out["candidate_scores0"], np.float32),
+            "scores1": np.asarray(out["candidate_scores1"], np.float32),
+            "gt_assignment": np.asarray(out["gt_assignment"], np.float32),
+            "gt_matches0": np.asarray(out["gt_matches0"], np.int32),
+            "gt_matches1": np.asarray(out["gt_matches1"], np.int32),
+        }
 
     def _slots(self, fd, rng):
         coords = np.zeros((self.K, 2), np.float32)
@@ -86,6 +154,8 @@ class CandidateMatchingSampler:
         return coords, scores, n
 
     def __getitem__(self, index: int) -> dict:
+        if self.processing is not None:
+            return self._processed_item(index)
         rng = random.Random(index)
         nprng = np.random.RandomState(index)
         mode = rng.choices(self.sup_modes, self.p_sup_modes)[0]

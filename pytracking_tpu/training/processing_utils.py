@@ -56,6 +56,22 @@ def sample_target(im: np.ndarray, target_bb, search_area_factor: float,
     return _resize(im_crop_padded, (output_sz, output_sz)), resize_factor
 
 
+def sample_target_from_crop_region(im: np.ndarray, crop_box,
+                                   output_sz: int) -> np.ndarray:
+    """Crop an explicit (x, y, w, h) region (padding with zeros outside the image)
+    and resize to output_sz (reference processing_utils.py
+    sample_target_from_crop_region)."""
+    x, y, w, h = [int(round(float(v))) for v in crop_box]
+    x1, y1, x2, y2 = x, y, x + w, y + h
+    x1_pad, y1_pad = max(0, -x1), max(0, -y1)
+    x2_pad = max(x2 - im.shape[1], 0)
+    y2_pad = max(y2 - im.shape[0], 0)
+    crop = im[y1 + y1_pad:y2 - y2_pad, x1 + x1_pad:x2 - x2_pad]
+    crop = np.pad(crop, ((y1_pad, y2_pad), (x1_pad, x2_pad)) +
+                  ((0, 0),) * (im.ndim - 2), mode="constant")
+    return _resize(crop, (output_sz, output_sz))
+
+
 def transform_image_to_crop(box_in: np.ndarray, box_extract: np.ndarray,
                             resize_factor: float, crop_sz: np.ndarray) -> np.ndarray:
     """Transform a box from image coords to the crop coords produced by sample_target

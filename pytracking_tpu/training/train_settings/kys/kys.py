@@ -13,8 +13,8 @@ from pytracking_tpu.training import transforms as tfm
 from pytracking_tpu.training.actors.tracking import make_kys_actor
 from pytracking_tpu.training.datasets.synthetic_video import SyntheticVideoDataset
 from pytracking_tpu.training.loader import LTRLoader
-from pytracking_tpu.training.processing import DiMPProcessing
-from pytracking_tpu.training.sampler import DiMPSampler
+from pytracking_tpu.training.processing import KYSProcessing
+from pytracking_tpu.training.sampler import KYSSampler
 from pytracking_tpu.training.settings import Settings
 from pytracking_tpu.training.trainer import LTRTrainer
 
@@ -28,19 +28,32 @@ def run(settings: Settings, datasets=None, max_epochs: int = 40,
     output_sigma = settings.output_sigma_factor / settings.search_area_factor
     label_params = {"feature_sz": settings.feature_sz, "sigma_factor": output_sigma,
                     "kernel_sz": settings.target_filter_sz}
-    processing = DiMPProcessing(search_area_factor=settings.search_area_factor,
-                                output_sz=settings.output_sz,
-                                center_jitter_factor={"train": 3, "test": 0.25},
-                                scale_jitter_factor={"train": 0.25, "test": 0.1},
-                                label_function_params=label_params,
-                                train_transform=tfm.Transform(
-                                    tfm.BrightnessJitter(0.2)),
-                                joint_transform=tfm.Transform(
-                                    tfm.ToGrayscale(probability=0.05)))
-    # causal mode: ordered test frames for the recurrent propagation
-    sampler = DiMPSampler(datasets, samples_per_epoch=samples_per_epoch, max_gap=30,
-                          num_test_frames=num_test_frames, num_train_frames=3,
-                          processing=processing, frame_sample_mode="causal")
+    # reference recipe (ltr/train_settings/kys/kys.py:61-78): synthetic-motion
+    # jitter with limited test motion + occlusion-spanning sequence sampling
+    processing = KYSProcessing(search_area_factor=settings.search_area_factor,
+                               output_sz=settings.output_sz,
+                               center_jitter_param={"train_factor": 3.0,
+                                                    "train_mode": "uniform",
+                                                    "test_factor": 4.5,
+                                                    "test_limit_motion": True,
+                                                    "test_mode": "uniform"},
+                               scale_jitter_param={"train_factor": 0.25,
+                                                   "test_factor": 0.3},
+                               label_function_params=label_params,
+                               min_crop_inside_ratio=0.1,
+                               train_transform=tfm.Transform(
+                                   tfm.BrightnessJitter(0.2)),
+                               joint_transform=tfm.Transform(
+                                   tfm.ToGrayscale(probability=0.05)))
+    sampler = KYSSampler(datasets, samples_per_epoch=samples_per_epoch,
+                         sequence_sample_info={"num_train_frames": 3,
+                                               "num_test_frames": num_test_frames,
+                                               "max_train_gap": 30,
+                                               "allow_missing_target": True,
+                                               "min_fraction_valid_frames": 0.5,
+                                               "mode": "Sequence"},
+                         processing=processing,
+                         sample_occluded_sequences=True)
     loader = LTRLoader("train", sampler, training=True,
                        batch_size=settings.batch_size,
                        num_workers=settings.num_workers)

@@ -11,7 +11,7 @@ from pytracking_tpu.training import transforms as tfm
 from pytracking_tpu.training.actors.tracking import make_rts_actor
 from pytracking_tpu.training.datasets.synthetic_video import SyntheticVOSVideoDataset
 from pytracking_tpu.training.loader import LTRLoader
-from pytracking_tpu.training.processing import LWLProcessing
+from pytracking_tpu.training.processing import RTSProcessing
 from pytracking_tpu.training.sampler import LWLSampler
 from pytracking_tpu.training.settings import Settings
 from pytracking_tpu.training.trainer import LTRTrainer
@@ -27,7 +27,7 @@ def run(settings: Settings, datasets=None, max_epochs: int = 200,
     output_sigma = settings.output_sigma_factor / settings.search_area_factor
     label_params = {"feature_sz": output_sz // 16, "sigma_factor": output_sigma,
                     "kernel_sz": 4}
-    processing = LWLProcessing(search_area_factor=settings.search_area_factor,
+    processing = RTSProcessing(search_area_factor=settings.search_area_factor,
                                output_sz=settings.output_sz,
                                center_jitter_factor=settings.center_jitter_factor,
                                scale_jitter_factor=settings.scale_jitter_factor,

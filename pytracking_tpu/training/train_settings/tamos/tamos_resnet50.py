@@ -13,7 +13,7 @@ from pytracking_tpu.training.actors.tracking import make_tamos_actor
 from pytracking_tpu.training.datasets.synthetic_video import SyntheticVideoDataset
 from pytracking_tpu.training.loader import LTRLoader
 from pytracking_tpu.training.processing import TaMOsProcessing
-from pytracking_tpu.training.sampler import DiMPSampler
+from pytracking_tpu.training.sampler import TaMOsDatasetSampler
 from pytracking_tpu.training.settings import Settings
 from pytracking_tpu.training.trainer import LTRTrainer
 
@@ -40,7 +40,7 @@ def run(settings: Settings, datasets=None, max_epochs: int = 100,
                                      tfm.RandomHorizontalFlip(0.5)),
                                  joint_transform=tfm.Transform(
                                      tfm.ToGrayscale(probability=0.05)))
-    sampler = DiMPSampler(datasets, samples_per_epoch=samples_per_epoch,
+    sampler = TaMOsDatasetSampler(datasets, samples_per_epoch=samples_per_epoch,
                           max_gap=200, num_test_frames=1, num_train_frames=1,
                           processing=processing)
     loader = LTRLoader("train", sampler, training=True,

@@ -75,10 +75,19 @@ def extract_candidate_data(tracker, seq, max_candidates: int = 8):
         gt = seq.ground_truth_rect[i] if seq.ground_truth_rect is not None and \
             i < len(seq.ground_truth_rect) else None
         state, match_idx = determine_frame_state(cand, gt)
+        # search-area box (x, y, w, h) for TargetCandidateMatchingProcessing:
+        # tracker-provided when available, else the search square around the
+        # predicted box
+        sa = out.get("search_area_box")
+        if sa is None:
+            bb = np.asarray(out["target_bbox"], np.float32)
+            sz = float(np.sqrt(max(bb[2] * bb[3], 1.0))) * 6.0
+            sa = [bb[0] + bb[2] / 2 - sz / 2, bb[1] + bb[3] / 2 - sz / 2, sz, sz]
         seq_data[str(i)] = {
             "coords": np.asarray(cand["coords"], np.float32).tolist(),
             "scores": np.asarray(cand["scores"], np.float32).tolist(),
             "state": state, "match_idx": match_idx,
+            "search_area_box": np.asarray(sa, np.float32).tolist(),
             "anno": None if gt is None else np.asarray(gt, np.float32).tolist(),
         }
     return seq_data
