@@ -95,6 +95,110 @@ def calc_seq_err_robust(pred_bb: np.ndarray, anno_bb: np.ndarray, dataset: str,
     return err_overlap, err_center, err_center_normalized, valid
 
 
+def extract_results_prec_rec_f1(trackers: List, dataset,
+                                report_name: Optional[str] = None,
+                                skip_missing_seq: bool = False,
+                                anno_period: int = 1) -> dict:
+    """Precision/recall/F1 over presence scores (reference
+    extract_results.py:186-290; the LaGOT benchmark's metric): frames of ALL
+    sequences pooled, sorted by the tracker's object-presence score; recall uses
+    cumulative overlap over visible frames, precision over reported frames; F1 is
+    maximized over the score threshold."""
+    from pytracking_tpu.evaluation.environment import env_settings
+    settings = env_settings()
+
+    valid_sequence = np.ones(len(dataset), dtype=bool)
+    raw_data = {}
+    for trk in trackers:
+        pred_all, anno_all, vis_all, scores_all = [], [], [], []
+        for seq_id, seq in enumerate(dataset):
+            anno_bb = np.asarray(seq.ground_truth_rect, np.float64)
+            target_visible = (np.asarray(seq.target_visible)
+                              if seq.target_visible is not None
+                              else np.ones(len(anno_bb)))
+            base = os.path.join(trk.results_dir, seq.name)
+            results_path = f"{base}.txt"
+            scores_path = f"{base}_object_presence_scores.txt"
+            if not os.path.isfile(results_path):
+                if skip_missing_seq:
+                    valid_sequence[seq_id] = False
+                    break
+                raise FileNotFoundError(f"Result not found: {results_path}")
+            pred_bb = np.loadtxt(results_path, delimiter="\t", ndmin=2)
+            if os.path.isfile(scores_path):
+                scores = np.loadtxt(scores_path, ndmin=1)
+            else:
+                scores = np.ones(pred_bb.shape[0])
+            pred_all.append(pred_bb[::anno_period])
+            anno_all.append(anno_bb[::anno_period])
+            vis_all.append(target_visible[::anno_period])
+            scores_all.append(scores[::anno_period])
+
+        pred_cat = np.concatenate(pred_all, 0)
+        anno_cat = np.concatenate(anno_all, 0)
+        vis_cat = np.concatenate(vis_all, 0)
+        scores_cat = np.concatenate(scores_all, 0).astype(np.float64)
+
+        err_overlap, _, _, valid_frame = calc_seq_err_robust(
+            pred_cat, anno_cat, dataset[0].dataset, vis_cat)
+
+        ind = np.argsort(-scores_cat, kind="stable")
+        scores_sorted = scores_cat[ind]
+        overlap_sorted = err_overlap[ind].copy()
+        overlap_sorted[~valid_frame[ind]] = 0.0
+        overlap_acc = np.cumsum(overlap_sorted)
+
+        den_rec = max(valid_frame.sum(), 1)
+        den_prec = np.arange(1, scores_sorted.shape[0] + 1, dtype=np.float64)
+        rec = np.concatenate([[0.0], overlap_acc / den_rec])
+        prec = np.concatenate([[1.0], overlap_acc / den_prec])
+        with np.errstate(invalid="ignore"):
+            f1 = 2 * prec * rec / (prec + rec)
+        f1 = np.nan_to_num(f1)
+        idx = int(np.argmax(f1))
+        key = getattr(trk, "display_name", None) or \
+            f"{trk.name}_{trk.parameter_name}"
+        if trk.run_id is not None:
+            key = f"{key}_{trk.run_id}"
+        raw_data[key] = {
+            "prec": prec, "rec": rec, "f1_max": float(f1[idx]),
+            "ths_max": float(scores_sorted[min(idx, len(scores_sorted) - 1)]),
+            "idx": idx,
+        }
+
+    eval_data = {
+        "sequences": [s.name for s in dataset],
+        "trackers": [{"name": t.name, "param": t.parameter_name,
+                      "run_id": t.run_id,
+                      "disp_name": getattr(t, "display_name", None) or
+                      f"{t.name}_{t.parameter_name}"} for t in trackers],
+        "valid_sequence": valid_sequence.tolist(),
+        "raw_data": raw_data,
+    }
+    if report_name is not None:
+        out_dir = os.path.join(settings.result_plot_path, report_name)
+        os.makedirs(out_dir, exist_ok=True)
+        with open(os.path.join(out_dir, "eval_data.pkl"), "wb") as f:
+            pickle.dump(eval_data, f)
+    return eval_data
+
+
+def print_results_prec_rec_f1(trackers: List, dataset,
+                              report_name: str = "prec_rec_f1", **kwargs) -> dict:
+    """Print the LaGOT-style F1/Pr/Re table (reference plot_results.py
+    print_prec_rec_curves usage)."""
+    eval_data = extract_results_prec_rec_f1(trackers, dataset, report_name,
+                                            **kwargs)
+    print(f"{'Tracker':40s} {'F1':>8s} {'Pr@max':>8s} {'Re@max':>8s} {'ths':>8s}")
+    scores = {}
+    for key, d in eval_data["raw_data"].items():
+        i = d["idx"]
+        print(f"{key:40s} {d['f1_max']*100:8.2f} {d['prec'][i]*100:8.2f} "
+              f"{d['rec'][i]*100:8.2f} {d['ths_max']:8.3f}")
+        scores[key] = {"F1": d["f1_max"], "Pr": d["prec"][i], "Re": d["rec"][i]}
+    return scores
+
+
 def extract_results(trackers: List, dataset, report_name: Optional[str] = None,
                     skip_missing_seq: bool = False,
                     plot_bin_gap: float = 0.05,

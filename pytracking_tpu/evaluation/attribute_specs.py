@@ -2,15 +2,11 @@
 
 Re-design of reference `pytracking/evaluation/dataset_attribute_specs/` +
 `otbdataset.py:53-76`: a spec is a JSON dict with `att_name_long`, `att_name_short`
-and, per sequence name, the list of short attribute tags. The reference bundles the
-spec files; here they are loaded from `env_settings().attribute_specs_path` (or the
-dataset root) so the benchmark metadata ships with the data, not the code. Obtain
-them from the benchmark authors (OTB/LaSOT/UAV123/AVisT releases) or an upstream
-pytracking checkout and drop them in that directory with the same file names:
-
-    otb_attributes.json  LaSOT_attributes.json  UAV123_attributes.json
-    avist_attributes.json  avist_scenarios.json
-"""
+and, per sequence name, the list of short attribute tags. The five benchmark
+metadata files (OTB/LaSOT/UAV123/AVisT attribute annotations, published with the
+respective benchmarks) are BUNDLED in `dataset_attribute_specs/` next to this
+module, like the reference; `env_settings().attribute_specs_path` or the dataset
+root can override them."""
 
 from __future__ import annotations
 
@@ -27,12 +23,15 @@ _SPEC_FILES = {
 }
 
 
+_BUNDLED_DIR = os.path.join(os.path.dirname(__file__), "dataset_attribute_specs")
+
+
 def spec_path(dataset: str) -> Optional[str]:
     from pytracking_tpu.evaluation.environment import env_settings
     env = env_settings()
     fname = _SPEC_FILES.get(dataset, f"{dataset}_attributes.json")
     for root in (getattr(env, "attribute_specs_path", ""),
-                 getattr(env, f"{dataset}_path", "")):
+                 getattr(env, f"{dataset}_path", ""), _BUNDLED_DIR):
         if root:
             p = os.path.join(root, fname)
             if os.path.isfile(p):

@@ -162,6 +162,52 @@ def test_vos_decay_uses_davis_binning():
     assert abs(res["J_decay"] - expect) < 1e-9
 
 
+# ------------------------------------------------------- LaGOT prec/rec/F1
+
+def test_prec_rec_f1_perfect_and_missed(tmp_path):
+    """Perfect predictions with full visibility -> F1 == 1; dropping presence
+    score on missed frames recovers a higher F1 than reporting them."""
+    from pytracking_tpu.analysis.extract_results import \
+        extract_results_prec_rec_f1
+    from pytracking_tpu.evaluation.data import Sequence
+
+    n = 20
+    anno = np.tile([10.0, 12.0, 30.0, 40.0], (n, 1))
+
+    class Trk:
+        name = "t"; parameter_name = "p"; run_id = None
+        display_name = "t_p"
+        results_dir = str(tmp_path)
+
+    frames = [f"synthetic://0/{i}/64/64" for i in range(n)]
+    seq = Sequence(name="sX", frames=frames, dataset="lagot",
+                   ground_truth_rect=anno)
+    np.savetxt(tmp_path / "sX.txt", anno.astype(int), delimiter="\t", fmt="%d")
+    np.savetxt(tmp_path / "sX_object_presence_scores.txt", np.ones(n), fmt="%.2f")
+    data = extract_results_prec_rec_f1([Trk()], [seq])
+    assert abs(data["raw_data"]["t_p"]["f1_max"] - 1.0) < 1e-6
+
+    # tracker loses the target on half the frames but reports low presence there
+    pred = anno.copy()
+    pred[10:, 0] += 200.0                      # zero overlap
+    scores = np.ones(n)
+    scores[10:] = 0.1
+    np.savetxt(tmp_path / "sX.txt", pred.astype(int), delimiter="\t", fmt="%d")
+    np.savetxt(tmp_path / "sX_object_presence_scores.txt", scores, fmt="%.2f")
+    d = extract_results_prec_rec_f1([Trk()], [seq])["raw_data"]["t_p"]
+    # best threshold keeps only the confident half: prec ~1, rec ~0.5 -> F1 ~2/3
+    assert abs(d["f1_max"] - 2 / 3) < 0.05
+    assert d["ths_max"] >= 0.1
+
+
+def test_bundled_attribute_specs_load():
+    from pytracking_tpu.evaluation.attribute_specs import (attribute_names,
+                                                           load_attribute_spec)
+    for ds in ("otb", "lasot", "uav", "avist"):
+        assert load_attribute_spec(ds) is not None, ds
+    assert "OCC" in attribute_names("otb")
+
+
 # ------------------------------------------------------- golden robustness rules
 
 @pytest.mark.skipif(not os.path.isdir("/root/reference"),
