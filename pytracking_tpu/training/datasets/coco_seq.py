@@ -78,3 +78,37 @@ class MSCOCOSeq(BaseImageDataset):
         frame_anno["mask"] = [mask for _ in frame_ids]
         return frames, frame_anno, {
             "object_class_name": self.cats.get(a.get("category_id"))}
+
+
+class MSCOCO(MSCOCOSeq):
+    """Plain MS-COCO IMAGE dataset (reference ltr/dataset/coco.py:11 MSCOCO):
+    one item per annotated instance, accessed through the image-dataset API
+    (get_image / get_image_info / get_images_in_class) — used in several
+    recipes' validation mixes."""
+
+    def get_name(self):
+        return "coco"
+
+    def get_num_images(self):
+        return len(self.sequence_list)
+
+    def get_image_info(self, im_id: int):
+        return self.get_sequence_info(im_id)
+
+    def get_class_name(self, im_id: int):
+        return self.cats.get(self.sequence_list[im_id].get("category_id"))
+
+    def get_images_in_class(self, class_name: str):
+        return [i for i, a in enumerate(self.sequence_list)
+                if self.cats.get(a.get("category_id")) == class_name]
+
+    def get_image(self, image_id: int, anno=None):
+        a = self.sequence_list[image_id]
+        im_info = self.img_info[a["image_id"]]
+        img = _read_image(os.path.join(self.img_prefix, im_info["file_name"]))
+        if anno is None:
+            anno = self.get_image_info(image_id)
+        anno = {k: v[0] for k, v in anno.items()}
+        anno["mask"] = self._poly_mask(a, img.shape)
+        return img, anno, {
+            "object_class_name": self.cats.get(a.get("category_id"))}
