@@ -136,6 +136,10 @@ def run_sequence(seq: Sequence, tracker, debug: int = 0,
         print(f"FPS: {-1} -- skipping {seq.name}, results exist")
         return None
 
+    if (visdom_info is not None or debug > 1) and \
+            hasattr(tracker, "_init_visdom"):
+        tracker._init_visdom(visdom_info, debug)
+
     output = {"target_bbox": [], "time": [], "object_presence_score": [],
               "segmentation": []}
 
@@ -146,6 +150,7 @@ def run_sequence(seq: Sequence, tracker, debug: int = 0,
             t = tracker.create_tracker(multiobj=seq.multiobj_mode)
         except TypeError:
             t = tracker.create_tracker()
+        t.visdom = getattr(tracker, "visdom", None)
         info = seq.init_info()
         prev_output = t.initialize(image, info) or {}
         init_time = time.time() - start
@@ -159,7 +164,9 @@ def run_sequence(seq: Sequence, tracker, debug: int = 0,
         if "segmentation" in prev_output:
             output["segmentation"].append(prev_output["segmentation"])
 
+        wait_if_paused = getattr(tracker, "wait_if_paused", lambda: None)
         for frame_num, frame_path in enumerate(seq.frames[1:], start=1):
+            wait_if_paused()
             image = _read_image(frame_path)
             start = time.time()
             info = seq.frame_info(frame_num)

@@ -51,6 +51,54 @@ class Tracker:
         tracker_module = importlib.import_module(f"pytracking_tpu.trackers.{name}")
         self.tracker_class = tracker_module.get_tracker_class()
         self._spec = None
+        self.visdom = None
+        self.pause_mode = False
+        self.step = False
+
+    # -------------------------------------------------------------- live debug
+
+    def _init_visdom(self, visdom_info, debug: int):
+        """Interactive debug UI (reference tracker.py:72-98): a visdom connection
+        with pause/step keyboard control on the 'Tracking' window — space toggles
+        pause, right-arrow single-steps while paused."""
+        from pytracking_tpu.utils.visdom import Visdom
+
+        visdom_info = visdom_info or {}
+        self.pause_mode = False
+        self.step = False
+        if debug > 0 or visdom_info.get("use_visdom", True):
+            try:
+                self.visdom = Visdom(debug,
+                                     {"handler": self._visdom_ui_handler,
+                                      "win_id": "Tracking"},
+                                     visdom_info=visdom_info)
+                help_text = ("You can pause/unpause the tracker by pressing "
+                             "'space' with the 'Tracking' window selected. "
+                             "During paused mode, you can track for one frame "
+                             "by pressing the right arrow key. To enable/"
+                             "disable plotting of a data block, tick/untick "
+                             "the corresponding entry in 'Block List'.")
+                self.visdom.register(help_text, "text", 1, "Help")
+            except Exception:
+                self.visdom = None
+
+    def _visdom_ui_handler(self, data):
+        if data.get("event_type") == "KeyPress":
+            if data.get("key") == " ":
+                self.pause_mode = not self.pause_mode
+            elif data.get("key") == "ArrowRight" and self.pause_mode:
+                self.step = True
+
+    def wait_if_paused(self):
+        """Block while the user has paused tracking (reference
+        tracker.py:214-222)."""
+        while True:
+            if not self.pause_mode:
+                return
+            if self.step:
+                self.step = False
+                return
+            time.sleep(0.1)
 
     def get_parameters(self) -> TrackerSpec:
         if self._spec is None:

@@ -59,3 +59,47 @@ def test_playback_results_headless(tmp_path):
     playback_results([FakeTracker()], seq, output_path=out)
     assert os.path.getsize(out) > 1000
     envmod._env_settings = None
+
+
+def test_visdom_headless_panes(tmp_path):
+    """All reference pane modes render through the headless dump backend
+    (featmap, cost_volume(+ui), bbreg, Tracking, lineplot, info_dict)."""
+    import numpy as np
+
+    from pytracking_tpu.utils.visdom import Visdom
+
+    v = Visdom(debug=3, visdom_info={"server": "127.0.0.1", "port": 1},
+               dump_dir=str(tmp_path))
+    assert v._vis is None   # no server: dump backend
+    im = np.random.rand(64, 64, 3).astype(np.float32) * 255
+    fm = np.random.rand(8, 16, 16).astype(np.float32)
+    cv = np.random.rand(36, 6, 6).astype(np.float32)
+    for i in range(20):     # dumps fire every 20 registers
+        v.register(im, "image", 1, "im")
+        v.register((im, [10, 10, 20, 20]), "Tracking", 1, "Tracking")
+        v.register(fm, "featmap", 1, "feat")
+        v.register(cv, "cost_volume", 1, "cv")
+        v.register((im, (6, 6)), "cost_volume_ui", 1, "cv_ui")
+        v.register((im, np.ones((2, 4)) * 12, np.ones((2, 4)) * 14), "bbreg",
+                   1, "bbreg")
+        v.register(np.arange(5.0), "lineplot", 1, "lp")
+        v.register({"a": 1}, "info_dict", 1, "info")
+    files = list(tmp_path.iterdir())
+    kinds = {f.name.split("_")[0] for f in files}
+    assert {"im", "feat", "cv", "bbreg", "lp", "info"} <= kinds, files
+
+
+def test_tracker_pause_step_handler():
+    from pytracking_tpu.evaluation.tracker import Tracker
+
+    trk = Tracker("dimp", "dimp50")
+    assert trk.pause_mode is False
+    trk._visdom_ui_handler({"event_type": "KeyPress", "key": " "})
+    assert trk.pause_mode is True
+    trk._visdom_ui_handler({"event_type": "KeyPress", "key": "ArrowRight"})
+    assert trk.step is True
+    trk.wait_if_paused()          # consumes the step without blocking
+    assert trk.step is False
+    trk._visdom_ui_handler({"event_type": "KeyPress", "key": " "})
+    assert trk.pause_mode is False
+    trk.wait_if_paused()          # returns immediately when not paused
