@@ -28,4 +28,22 @@ def parameters() -> TrackerSpec:
         variables = load_or_init_variables(
             net, example,
             cache_path=os.path.join(env.network_path, "rts50_init.msgpack"))
-    return TrackerSpec(params=params, net=net, variables=variables)
+
+    def sta_factory():
+        """Lazy STA box->mask net for box-only init (reference rts.py:62-64 builds
+        STAHelper on demand; parameter/rts/rts50.py:20-30 sta_net)."""
+        from pytracking_tpu.models.lwl.sta_net import sta_resnet50
+
+        sta_net = sta_resnet50()
+        sta_ckpt = os.path.join(env.network_path, "sta.msgpack")
+        if os.path.isfile(sta_ckpt + ".json"):
+            return load_network(sta_ckpt)
+        example = (jnp.zeros((1, 1, 128, 128, 3)),
+                   jnp.array([[[30.0, 30.0, 50.0, 50.0]]]))
+        sta_variables = load_or_init_variables(
+            sta_net, example,
+            cache_path=os.path.join(env.network_path, "sta_init.msgpack"))
+        return sta_net, sta_variables
+
+    return TrackerSpec(params=params, net=net, variables=variables,
+                       tracker_kwargs={"sta_factory": sta_factory})

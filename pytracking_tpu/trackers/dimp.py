@@ -49,6 +49,9 @@ class DiMPParams:
     """Static tracker configuration (reference pytracking/parameter/dimp/dimp50.py)."""
     image_sample_size: int = 18 * 16
     search_area_scale: float = 5.0
+    # when True, a not_found frame reports [-1,-1,-1,-1] (reference dimp.py:169;
+    # used by long-term / LaGOT protocols)
+    output_not_found_box: bool = False
     border_mode: str = "replicate"
     patch_max_scale_change: Optional[float] = None
     feature_stride: int = 16
@@ -318,9 +321,12 @@ class DiMPTracker(BaseTracker):
 
     def fetch_output(self, out) -> dict:
         bbox = np.asarray(out["target_bbox"]).tolist()
+        flag = FLAG_NAMES[int(out["flag"])]
+        if self.params.output_not_found_box and flag == "not_found":
+            bbox = [-1, -1, -1, -1]
         return {"target_bbox": bbox,
                 "max_score": float(out["max_score"]),
-                "flag": FLAG_NAMES[int(out["flag"])]}
+                "flag": flag}
 
     def track(self, image, info: Optional[dict] = None) -> dict:
         return self.fetch_output(self.track_async(image, info))

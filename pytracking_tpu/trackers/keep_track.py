@@ -59,6 +59,12 @@ class KeepTrackState(DiMPState):
     prev_cand_scores: jnp.ndarray = None     # (K,)
     prev_cand_valid: jnp.ndarray = None      # (K,) bool
     prev_cand_frame: jnp.ndarray = None      # () int32
+    # certainty-weighted memory (reference keep_track.py:572-575,628-665)
+    mem_certainties: jnp.ndarray = None      # (M,) per-slot label certainty
+    # search-area rescaling after not-found (reference keep_track.py:228-236)
+    target_not_found_counter: jnp.ndarray = None  # () int32
+    scale_history: jnp.ndarray = None        # (60,) chronological, newest at [-1]
+    scale_history_n: jnp.ndarray = None      # () int32 number of valid entries
 
 
 class Candidate:
@@ -191,13 +197,19 @@ class KeepTrackTracker(DiMPTracker):
         K = self.params.max_candidates
         D = 256
         base = {f: getattr(self.state, f) for f in DiMPState.__dataclass_fields__}
+        M = self.params.sample_memory_size
         self.state = KeepTrackState(
             **base,
             prev_cand_desc=jnp.zeros((K, D)),
             prev_cand_img_coords=jnp.zeros((K, 2)),
             prev_cand_scores=jnp.zeros((K,)),
             prev_cand_valid=jnp.zeros((K,), bool),
-            prev_cand_frame=jnp.asarray(-10, jnp.int32))
+            prev_cand_frame=jnp.asarray(-10, jnp.int32),
+            # init samples carry certainty 1 (reference init_target_label_certainties)
+            mem_certainties=jnp.where(jnp.arange(M) < base["num_stored"], 1.0, 0.0),
+            target_not_found_counter=jnp.asarray(0, jnp.int32),
+            scale_history=jnp.zeros((60,)),
+            scale_history_n=jnp.asarray(0, jnp.int32))
         self.candidate_collection = None
         return out
 
@@ -249,18 +261,28 @@ class KeepTrackTracker(DiMPTracker):
                     self.candidate_collection.flag]
                 cand_score = float(cand_scores[cid])
 
-        certain = (self.candidate_collection is None
-                   or self.candidate_collection.candidate_selection_is_certain)
+        # reference keep_track.py:150-152,183-184: object-0 selections get a sqrt
+        # certainty boost; the raw certainty is the score-map max
+        is_object0 = (self.candidate_collection is None
+                      or self.candidate_collection.object_id_of_selected_candidate == 0)
 
         self.state, out = self._jit_part2(
             self.variables, state, part1["backbone_l2"], part1["backbone_l3"], part1["test_x"],
             part1["sample_pos"], part1["sample_scale"],
             jnp.asarray(sel_coord, jnp.float32), jnp.asarray(flag_code, jnp.int32),
-            jnp.asarray(cand_score, jnp.float32), jnp.asarray(certain))
+            jnp.asarray(cand_score, jnp.float32),
+            jnp.asarray(max_score1, jnp.float32), jnp.asarray(is_object0))
 
-        return {"target_bbox": np.asarray(out["target_bbox"]).tolist(),
+        presence = max(max_score1, math.sqrt(max(max_score1, 0.0))) \
+            if is_object0 else max_score1
+        flag_name = FLAG_NAMES[int(out["flag"])]
+        bbox = np.asarray(out["target_bbox"]).tolist()
+        if self.params.output_not_found_box and flag_name == "not_found":
+            bbox = [-1, -1, -1, -1]   # reference keep_track.py:206-209
+        return {"target_bbox": bbox,
                 "max_score": float(out["max_score"]),
-                "flag": FLAG_NAMES[int(out["flag"])]}
+                "object_presence_score": float(presence),
+                "flag": flag_name}
 
     # ---------------------------------------------------------------- device step 1
 
@@ -352,7 +374,8 @@ class KeepTrackTracker(DiMPTracker):
     # ---------------------------------------------------------------- device step 2
 
     def _track_part2(self, state: KeepTrackState, backbone_l2, backbone_l3, test_x,
-                     sample_pos, sample_scale, sel_coord, flag, cand_score, certain):
+                     sample_pos, sample_scale, sel_coord, flag, cand_score,
+                     certainty, is_object0):
         """sel_coord: either a score-grid (r, c) candidate coordinate (when matching
         selected a candidate; flag from the collection) or directly an image-coord
         translation (fallback path passes `default_disp`). We distinguish by treating
@@ -380,6 +403,12 @@ class KeepTrackTracker(DiMPTracker):
                                             clamp_pos(new_pos, state.target_sz),
                                             state.pos))
 
+        # search-area rescaling (reference keep_track.py:228-236): on not_found grow
+        # the scale back toward recent larger scales; on found push the pre-refinement
+        # scale into the history and reset the counter
+        state = lax.cond(found, self._push_scale_history,
+                         self._search_area_rescaling, state)
+
         backbone_feat = {"layer2": backbone_l2, "layer3": backbone_l3}
         if p.use_iou_net:
             update_scale = jnp.where(
@@ -395,18 +424,144 @@ class KeepTrackTracker(DiMPTracker):
                                          sample_scale, img_sample_sz)
             lr = jnp.where(hard_negative, p.hard_negative_learning_rate,
                            p.learning_rate)
-            # certainty-weighted updates (reference keep_track.py:667-700): when the
-            # candidate selection is uncertain, do not add the sample to memory
-            do_update = update_flag & (certain |
-                                       (not p.use_certainty_for_weight_computation))
-            state = self._update_memory_masked(state, test_x[0], target_box, lr,
-                                               do_update)
-            state = self._update_classifier(state, hard_negative, do_update)
+            # certainty-weighted memory (reference keep_track.py:628-665): object-0
+            # selections get a sqrt certainty boost; the slot with the lowest
+            # certainty*weight is replaced
+            cert_store = jnp.where(is_object0,
+                                   jnp.maximum(certainty,
+                                               jnp.sqrt(jnp.maximum(certainty, 0.0))),
+                                   certainty)
+            state = self._update_memory_certainty(state, test_x[0], target_box, lr,
+                                                  update_flag, cert_store)
+            state = self._update_classifier_certainty(state, hard_negative,
+                                                      update_flag, certainty)
 
         state = state.replace(flag=flag.astype(jnp.int32), max_score=cand_score)
         bbox = jnp.concatenate([state.pos[::-1] - (state.target_sz[::-1] - 1) / 2,
                                 state.target_sz[::-1]])
         return state, {"target_bbox": bbox, "max_score": cand_score, "flag": flag}
+
+    # ------------------------------------------------- search-area rescaling
+
+    def _push_scale_history(self, state: KeepTrackState):
+        """Found frame: append the current (pre-refinement) scale, reset the counter
+        (reference keep_track.py:163-165)."""
+        hist = jnp.roll(state.scale_history, -1).at[-1].set(state.target_scale)
+        return state.replace(
+            scale_history=hist,
+            scale_history_n=jnp.minimum(state.scale_history_n + 1, 60),
+            target_not_found_counter=jnp.asarray(0, jnp.int32))
+
+    def _search_area_rescaling(self, state: KeepTrackState):
+        """Not-found frame: set target_scale to the mean of the most recent
+        `num_scales` history entries that are >= the newest one, where num_scales
+        grows with consecutive not-found frames (reference keep_track.py:228-236)."""
+        counter = state.target_not_found_counter + 1
+        num_scales = jnp.clip(counter, 2, 30)
+        hist = state.scale_history
+        n = state.scale_history_n
+        valid = jnp.arange(60) >= (60 - n)
+        newest = hist[-1]
+        keep = valid & (hist >= newest)
+        # rank from the end among kept entries: 1 = newest kept entry
+        rev_rank = jnp.cumsum(keep[::-1])[::-1]
+        sel = keep & (rev_rank <= num_scales)
+        mean = jnp.sum(jnp.where(sel, hist, 0.0)) / jnp.maximum(jnp.sum(sel), 1)
+        new_scale = jnp.where(n > 0, mean, state.target_scale)
+        return state.replace(target_scale=new_scale,
+                             target_not_found_counter=counter)
+
+    # ------------------------------------------- certainty-weighted memory
+
+    def _update_memory_certainty(self, state: KeepTrackState, sample, target_box, lr,
+                                 do_update, cert_store):
+        """DiMP's weighted-replacement update, but the replaced slot is the one with
+        the minimum certainty*weight (reference keep_track.py:628-665,667-733) and the
+        per-slot certainty memory is written alongside."""
+        p = self.params
+        sw = state.mem_weights
+        M = p.sample_memory_size
+        num_init = state.num_init
+        num_stored = state.num_stored
+
+        init_w = p.init_samples_minimum_weight
+        s_ind = jnp.where(init_w > 0, num_init, 0)
+
+        idx = jnp.arange(M)
+        if p.use_certainty_for_weight_computation:
+            # reference keep_track.py:633: certainties = cert * sample_weights
+            replace_key = state.mem_certainties * sw
+        else:
+            replace_key = sw
+        masked_key = jnp.where(idx >= s_ind, replace_key, jnp.inf)
+        r_ind_full = jnp.argmin(masked_key).astype(jnp.int32)
+        r_ind = jnp.where(num_stored < M, num_stored, r_ind_full).astype(jnp.int32)
+
+        prev = state.prev_ind
+        sw_new = jnp.where(prev < 0, sw / (1 - lr), sw)
+        new_w = jnp.where(prev < 0, lr, sw[jnp.maximum(prev, 0)] / (1 - lr))
+        sw_new = sw_new.at[r_ind].set(new_w)
+        sw_new = sw_new / sw_new.sum()
+        if init_w and init_w > 0:
+            init_mask = idx < num_init
+            init_sum = jnp.where(init_mask, sw_new, 0.0).sum()
+            rest_sum = jnp.where(~init_mask, sw_new, 0.0).sum()
+            need = init_sum < init_w
+            scale = 1.0 / (init_w + rest_sum)
+            sw_adj = jnp.where(init_mask, init_w / jnp.maximum(num_init, 1),
+                               sw_new * scale)
+            sw_new = jnp.where(need, sw_adj, sw_new)
+
+        mem_samples = state.mem_samples.at[r_ind].set(sample)
+        mem_boxes = state.mem_boxes.at[r_ind].set(target_box)
+        mem_cert = state.mem_certainties.at[r_ind].set(cert_store)
+
+        return state.replace(
+            mem_samples=jnp.where(do_update, mem_samples, state.mem_samples),
+            mem_boxes=jnp.where(do_update, mem_boxes, state.mem_boxes),
+            mem_weights=jnp.where(do_update, sw_new, state.mem_weights),
+            mem_certainties=jnp.where(do_update, mem_cert, state.mem_certainties),
+            num_stored=jnp.where(do_update,
+                                 jnp.minimum(num_stored + 1, M), num_stored),
+            prev_ind=jnp.where(do_update, r_ind, state.prev_ind))
+
+    def _update_classifier_certainty(self, state: KeepTrackState, hard_negative,
+                                     update_flag, certainty):
+        """Filter-optimizer refresh with certainty-suppressed sample weights
+        (reference keep_track.py:886-898): slots with certainty below the threshold
+        contribute nothing; hard-negative refreshes are skipped when the new sample
+        itself is below the threshold (keep_track.py:869-872)."""
+        p = self.params
+        skip_update = ((state.frame_num - 1) % p.train_skipping) == 0
+
+        if p.use_certainty_for_weight_computation:
+            ths = p.certainty_for_weight_computation_ths
+            hn_ok = certainty >= ths
+            cert = state.mem_certainties
+            w = state.mem_weights * jnp.where(cert >= ths, cert, 0.0)
+        else:
+            hn_ok = jnp.asarray(True)
+            w = state.mem_weights
+
+        branch_idx = jnp.where(update_flag & hard_negative & hn_ok, 1,
+                               jnp.where(update_flag & skip_update, 2, 0))
+
+        feat = state.mem_samples[:, None]
+        bb = state.mem_boxes[:, None]
+        sw = w[:, None]
+
+        def no_update(f):
+            return f
+
+        def hn_update(f):
+            return self._run_optimizer(f, feat, bb, sw, p.net_opt_hn_iter)[0]
+
+        def periodic_update(f):
+            return self._run_optimizer(f, feat, bb, sw, p.net_opt_update_iter)[0]
+
+        new_filter = lax.switch(branch_idx, [no_update, hn_update, periodic_update],
+                                state.target_filter)
+        return state.replace(target_filter=new_filter)
 
 
 def get_tracker_class():

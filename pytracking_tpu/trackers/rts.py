@@ -52,6 +52,9 @@ class RTSParams(LWLParams):
     clf_init_samples_minimum_weight: float = 0.25
     clf_filter_size: int = 4
     scale_history_size: int = 30
+    # STA box-init (reference parameter/rts/rts50.py:20-21, sta_helper.py)
+    sta_image_sample_size: Tuple[int, int] = (30 * 16, 52 * 16)
+    sta_search_area_scale: float = 4.0
 
 
 class RTSState(LWLState):
@@ -72,6 +75,87 @@ class RTSState(LWLState):
 class RTSTracker(LWLTracker):
     multiobj_mode = "parallel"
     predicts_segmentation_mask = True
+
+    def __init__(self, params: RTSParams, net, variables, sta_net=None,
+                 sta_variables=None, sta_factory=None):
+        """sta_net/sta_variables: optional STA box->mask network for box-only init
+        (reference sta_helper.py). sta_factory: lazy () -> (net, variables),
+        mirroring the reference's on-demand STAHelper construction (rts.py:62-64)."""
+        super().__init__(params, net, variables)
+        self.sta_net = sta_net
+        self.sta_variables = jax.device_put(sta_variables) \
+            if sta_variables is not None else None
+        self._sta_factory = sta_factory
+
+    # ------------------------------------------------------------ STA box-init
+
+    def initialize(self, image, info: Dict[str, Any]) -> dict:
+        if info.get("init_mask") is None and \
+                (self.sta_net is not None or self._sta_factory is not None):
+            if self.sta_net is None:
+                self.sta_net, sta_vars = self._sta_factory()
+                self.sta_variables = jax.device_put(sta_vars)
+            if not hasattr(self, "_jit_sta"):
+                self._jit_sta = jax.jit(self._sta_predict_mask)
+            mask = self._jit_sta(self.sta_variables, jnp.asarray(image),
+                                 jnp.asarray(info["init_bbox"], jnp.float32))
+            info = dict(info)
+            info["init_mask"] = np.asarray(mask)
+        return super().initialize(image, info)
+
+    def _sta_predict_mask(self, sta_variables, im, bbox):
+        """Box -> first-frame mask via the STA network (reference
+        sta_helper.py:30-70 predict_mask): crop a (480, 832) search region around the
+        box, forward STANet, paste scores to image coords with -100 outside the
+        search region, clamp scores outside the box, threshold at 0."""
+        from pytracking_tpu.ops.patch import _resample_weights
+
+        p = self.params
+        im_f = im.astype(jnp.float32)
+        Hs, Ws = p.sta_image_sample_size
+        support = jnp.array([float(Hs), float(Ws)])
+        pos = jnp.array([bbox[1] + (bbox[3] - 1) / 2, bbox[0] + (bbox[2] - 1) / 2])
+        target_sz = jnp.array([bbox[3], bbox[2]])
+        search_area = jnp.prod(target_sz * p.sta_search_area_scale)
+        target_scale = jnp.sqrt(search_area) / jnp.sqrt(jnp.prod(support))
+        patch, coords = sample_patch(im_f, pos, target_scale * support, (Hs, Ws),
+                                     mode="replicate")
+        sample_pos = 0.5 * (coords[:2] + coords[2:] - 1)
+        sample_scale = jnp.sqrt(jnp.prod((coords[2:] - coords[:2]) / support))
+
+        # box in crop coords (reference sta_helper.py:72-79)
+        box_center = (pos - sample_pos) / sample_scale + (support - 1) / 2
+        box_sz = target_sz / sample_scale
+        tl_crop = box_center - (box_sz - 1) / 2
+        bb_crop = jnp.concatenate([tl_crop[::-1], box_sz[::-1]])
+
+        _, refined = self.sta_net.apply(sta_variables, patch[None, None],
+                                        bb_crop[None, None], train=False)
+        scores = refined[0, 0]                                   # (Hs, Ws) logits
+
+        # paste to image coords; outside the search region -> -100
+        H, W = im.shape[0], im.shape[1]
+        tlc = coords[:2]
+        szc = coords[2:] - coords[:2]
+        cy = (jnp.arange(H, dtype=jnp.float32) - tlc[0]) * Hs / szc[0] - 0.5
+        cx = (jnp.arange(W, dtype=jnp.float32) - tlc[1]) * Ws / szc[1] - 0.5
+        ry = _resample_weights(cy, Hs, jnp.asarray(1.0))
+        rx = _resample_weights(cx, Ws, jnp.asarray(1.0))
+        vals = jnp.einsum("ih,hw->iw", ry, scores)
+        vals = jnp.einsum("jw,iw->ij", rx, vals)
+        inside = ((cy >= -0.5) & (cy <= Hs - 0.5))[:, None] & \
+            ((cx >= -0.5) & (cx <= Ws - 0.5))[None, :]
+        scores_im = jnp.where(inside, vals, -100.0)
+
+        # scores outside the init box -> -100 (reference sta_helper.py:59-64)
+        xs = jnp.arange(W, dtype=jnp.float32)
+        ys = jnp.arange(H, dtype=jnp.float32)
+        x0 = jnp.floor(bbox[0])
+        y0 = jnp.floor(bbox[1])
+        inbox = ((xs >= x0) & (xs < x0 + jnp.floor(bbox[2])))[None, :] & \
+            ((ys >= y0) & (ys < y0 + jnp.floor(bbox[3])))[:, None]
+        scores_im = jnp.where(inbox, scores_im, -100.0)
+        return (scores_im > 0.0).astype(jnp.float32)
 
     # ---------------------------------------------------------------- net helpers
 

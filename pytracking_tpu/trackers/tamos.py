@@ -150,10 +150,16 @@ class TaMOsTracker(BaseTracker):
         self.state, out = self._jit_track(self.variables, self.state, im)
         boxes = np.asarray(out["target_bbox"])
         scores = np.asarray(out["max_score"])
+        flags = np.asarray(out["flag"])
+        not_found_box = getattr(self.params, "output_not_found_box", False)
         out_boxes = OrderedDict()
         out_scores = OrderedDict()
         for slot, oid in self.id_map.items():
-            out_boxes[oid] = boxes[slot].tolist()
+            if not_found_box and int(flags[slot]) == FLAG_NOT_FOUND:
+                # reference tamos.py:210-213
+                out_boxes[oid] = [-1, -1, -1, -1]
+            else:
+                out_boxes[oid] = boxes[slot].tolist()
             out_scores[oid] = float(scores[slot])
         if not self.mot_dataset:
             return {"target_bbox": out_boxes["1"],

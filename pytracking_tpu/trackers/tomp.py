@@ -237,10 +237,15 @@ class ToMPTracker(BaseTracker):
         return out
 
     def fetch_output(self, out) -> dict:
-        return {"target_bbox": np.asarray(out["target_bbox"]).tolist(),
+        flag = FLAG_NAMES[int(out["flag"])]
+        bbox = np.asarray(out["target_bbox"]).tolist()
+        if getattr(self.params, "output_not_found_box", False) and \
+                flag == "not_found":
+            bbox = [-1, -1, -1, -1]   # reference tomp.py output_not_found_box
+        return {"target_bbox": bbox,
                 "object_presence_score": float(out["max_score"]),
                 "max_score": float(out["max_score"]),
-                "flag": FLAG_NAMES[int(out["flag"])]}
+                "flag": flag}
 
     def track(self, image, info: Optional[dict] = None) -> dict:
         return self.fetch_output(self.track_async(image, info))
