@@ -55,10 +55,13 @@ class TaMOsNet(nn.Module):
     fpn: FPN
     head_layer: str = "layer3"
     high_res_layer: str = "layer2"
+    # reference trainer's freeze_backbone_bn_layers (tamos_resnet50.py:186-187)
+    freeze_backbone_bn: bool = False
 
     def extract_backbone(self, im: jnp.ndarray, train: bool = False):
         x = backbones.normalize_image(im)
-        return self.feature_extractor(x, train=train)
+        return self.feature_extractor(x,
+                                      train=train and not self.freeze_backbone_bn)
 
     def extract_head_feat(self, backbone_feat, train: bool = False):
         """(B, H, W, C) head-layer backbone feature -> head feature."""
@@ -125,7 +128,8 @@ def tamosnet_resnet50(filter_size: int = 1, head_layer: str = "layer3",
                       out_feature_dim: int = 256, nhead: int = 8,
                       num_encoder_layers: int = 6, num_decoder_layers: int = 6,
                       dim_feedforward: int = 2048, feature_sz: int = 36,
-                      num_tokens: int = 10, box_enc: str = "ltrb_token") -> TaMOsNet:
+                      num_tokens: int = 10, box_enc: str = "ltrb_token",
+                      freeze_backbone_bn: bool = False) -> TaMOsNet:
     # feature_sz: max spatial resolution for the anti-aliased positional encoding —
     # the recipe trains at (36, 24), reference PositionEmbeddingSine takes max(...)
     """(reference tamosnet.py:82-131)"""
@@ -144,7 +148,8 @@ def tamosnet_resnet50(filter_size: int = 1, head_layer: str = "layer3",
                     filter_predictor=fp,
                     classifier=LinearFilterClassifier(num_channels=out_feature_dim),
                     bb_regressor=DenseBoxRegressor(num_channels=out_feature_dim),
-                    fpn=FPN(output_dim=out_feature_dim), head_layer=head_layer)
+                    fpn=FPN(output_dim=out_feature_dim), head_layer=head_layer,
+                    freeze_backbone_bn=freeze_backbone_bn)
 
 
 def tamosnet_swin_base(filter_size: int = 1, out_feature_dim: int = 256,

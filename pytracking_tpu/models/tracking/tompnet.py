@@ -25,10 +25,14 @@ class ToMPnet(nn.Module):
     feature_extractor: nn.Module
     head: Head
     head_layer: str = "layer3"
+    # reference trainer's freeze_backbone_bn_layers (tomp50.py:146-147): backbone
+    # BatchNorm stays in eval mode (running stats) even during training
+    freeze_backbone_bn: bool = False
 
     def extract_backbone(self, im: jnp.ndarray, train: bool = False):
         x = backbones.normalize_image(im)
-        return self.feature_extractor(x, train=train)
+        return self.feature_extractor(x,
+                                      train=train and not self.freeze_backbone_bn)
 
     def get_backbone_head_feat(self, backbone_feat):
         return backbone_feat[self.head_layer]
@@ -76,9 +80,11 @@ def tompnet50(filter_size: int = 4, head_layer: str = "layer3",
               final_conv: bool = True, out_feature_dim: int = 512, nhead: int = 8,
               num_encoder_layers: int = 6, num_decoder_layers: int = 6,
               dim_feedforward: int = 2048, feature_sz: int = 18,
-              use_test_frame_encoding: bool = True) -> ToMPnet:
-    """ToMP-50 (reference tompnet.py:82-121)."""
-    backbone = backbones.resnet50(output_layers=(head_layer,))
+              use_test_frame_encoding: bool = True,
+              backbone_dtype=None, freeze_backbone_bn: bool = False) -> ToMPnet:
+    """ToMP-50 (reference tompnet.py:82-121). backbone_dtype=jnp.bfloat16 runs the
+    backbone convs/BN in bf16 (params stay f32)."""
+    backbone = backbones.resnet50(output_layers=(head_layer,), dtype=backbone_dtype)
     norm_scale = math.sqrt(1.0 / (out_feature_dim * filter_size * filter_size))
     head_fe = ResidualBottleneck(feature_dim=256, num_blocks=head_feat_blocks,
                                  l2norm=head_feat_norm, final_conv=final_conv,
@@ -93,13 +99,17 @@ def tompnet50(filter_size: int = 4, head_layer: str = "layer3",
     bb_regressor = DenseBoxRegressor(num_channels=out_feature_dim)
     head = Head(filter_predictor=fp, feature_extractor=head_fe, classifier=classifier,
                 bb_regressor=bb_regressor)
-    return ToMPnet(feature_extractor=backbone, head=head, head_layer=head_layer)
+    return ToMPnet(feature_extractor=backbone, head=head, head_layer=head_layer,
+                   freeze_backbone_bn=freeze_backbone_bn)
 
 
 def tompnet101(filter_size: int = 4, head_layer: str = "layer3",
-               out_feature_dim: int = 512, feature_sz: int = 18, **kwargs) -> ToMPnet:
+               out_feature_dim: int = 512, feature_sz: int = 18,
+               backbone_dtype=None, freeze_backbone_bn: bool = False,
+               **kwargs) -> ToMPnet:
     """ToMP-101 (reference tompnet.py:124-163)."""
-    backbone = backbones.resnet101(output_layers=(head_layer,))
+    backbone = backbones.resnet101(output_layers=(head_layer,),
+                                   dtype=backbone_dtype)
     norm_scale = math.sqrt(1.0 / (out_feature_dim * filter_size * filter_size))
     head_fe = ResidualBottleneck(feature_dim=256, num_blocks=0, l2norm=True,
                                  final_conv=True, norm_scale=norm_scale,
@@ -112,4 +122,5 @@ def tompnet101(filter_size: int = 4, head_layer: str = "layer3",
     head = Head(filter_predictor=fp, feature_extractor=head_fe,
                 classifier=LinearFilterClassifier(num_channels=out_feature_dim),
                 bb_regressor=DenseBoxRegressor(num_channels=out_feature_dim))
-    return ToMPnet(feature_extractor=backbone, head=head, head_layer=head_layer)
+    return ToMPnet(feature_extractor=backbone, head=head, head_layer=head_layer,
+                   freeze_backbone_bn=freeze_backbone_bn)

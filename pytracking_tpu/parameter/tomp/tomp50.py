@@ -16,7 +16,10 @@ def parameters() -> TrackerSpec:
 
     env = env_settings()
     ckpt = os.path.join(env.network_path, "tomp50.msgpack")
-    net = tompnet50(feature_sz=params.train_feature_size)
+    # optional bf16 backbone compute (same knob as dimp50.py, measured there)
+    bf16 = os.environ.get("PYTRACKING_TPU_BF16_BACKBONE", "0") == "1"
+    net = tompnet50(feature_sz=params.train_feature_size,
+                    backbone_dtype=jnp.bfloat16 if bf16 else None)
     if os.path.isfile(ckpt + ".json"):
         net, variables = load_network(ckpt)
     else:

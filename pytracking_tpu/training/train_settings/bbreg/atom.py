@@ -4,6 +4,8 @@ from __future__ import annotations
 
 import optax
 
+from pytracking_tpu.training.optim import adam_per_module, step_lr
+
 from pytracking_tpu.models.tracking.atomnet import atom_resnet18
 from pytracking_tpu.parallel.mesh import make_mesh
 from pytracking_tpu.training import transforms as tfm
@@ -49,8 +51,11 @@ def run(settings: Settings, datasets=None, max_epochs: int = 50,
     variables = net.init(jax.random.PRNGKey(0), *example, train=False)
     actor = make_atom_actor(net)
 
-    optimizer = optax.adam(optax.exponential_decay(1e-3, 15 * max(len(loader), 1),
-                                                   0.2, staircase=True))
+    # reference atom.py:88-89: ONLY bb_regressor trains (1e-3); backbone frozen;
+    # StepLR(15, 0.2)
+    optimizer = adam_per_module(1e-3, {"bb_regressor": 1e-3},
+                                steps_per_epoch=len(loader), step_size=15,
+                                gamma=0.2, freeze_unlisted=True)
     mesh = make_mesh() if use_mesh and len(jax.devices()) > 1 else None
     trainer = LTRTrainer(actor, [loader], optimizer, settings,
                          settings.checkpoint_dir + "/bbreg/atom",

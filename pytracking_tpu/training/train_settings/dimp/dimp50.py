@@ -11,6 +11,7 @@ from __future__ import annotations
 import optax
 
 from pytracking_tpu.models.tracking.dimpnet import dimpnet50
+from pytracking_tpu.training.optim import adam_per_module
 from pytracking_tpu.parallel.mesh import make_mesh
 from pytracking_tpu.training import transforms as tfm
 from pytracking_tpu.training.actors.tracking import make_dimp_actor
@@ -70,10 +71,14 @@ def run(settings: Settings, datasets=None, max_epochs: int = 50,
     variables = net.init(jax.random.PRNGKey(0), *example, train=False)
     actor = make_dimp_actor(net, hinge_threshold=settings.hinge_threshold)
 
-    # optimizer (reference dimp50.py:110-117: Adam w/ per-module LRs + StepLR).
-    schedule = optax.exponential_decay(2e-4, transition_steps=15 * len(loader),
-                                       decay_rate=0.2, staircase=True)
-    optimizer = optax.adam(schedule)
+    # optimizer (reference dimp50.py:108-115: Adam w/ per-module LRs + StepLR(15, 0.2))
+    optimizer = adam_per_module(
+        2e-4,
+        {"classifier/filter_initializer": 5e-5,
+         "classifier/filter_optimizer": 5e-4,
+         "classifier/feature_extractor": 5e-5,
+         "feature_extractor": 2e-5},
+        steps_per_epoch=len(loader), step_size=15, gamma=0.2)
 
     mesh = make_mesh() if use_mesh and len(jax.devices()) > 1 else None
     trainer = LTRTrainer(actor, [loader], optimizer, settings,

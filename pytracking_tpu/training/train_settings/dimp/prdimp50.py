@@ -4,6 +4,8 @@ from __future__ import annotations
 
 import optax
 
+from pytracking_tpu.training.optim import adam_per_module
+
 from pytracking_tpu.models.tracking.dimpnet import klcedimpnet50
 from pytracking_tpu.parallel.mesh import make_mesh
 from pytracking_tpu.training import transforms as tfm
@@ -57,8 +59,12 @@ def run(settings: Settings, datasets=None, max_epochs: int = 50,
     variables = net.init(jax.random.PRNGKey(0), *example, train=False)
     actor = make_kldimp_actor(net)
 
-    optimizer = optax.adam(optax.exponential_decay(2e-4, 15 * max(len(loader), 1),
-                                                   0.2, staircase=True))
+    # reference prdimp50.py:111-116: classifier 1e-3, bb_regressor 1e-3,
+    # feature_extractor 2e-5, base 2e-4, StepLR(15, 0.2)
+    optimizer = adam_per_module(
+        2e-4, {"classifier": 1e-3, "bb_regressor": 1e-3,
+               "feature_extractor": 2e-5},
+        steps_per_epoch=len(loader), step_size=15, gamma=0.2)
     mesh = make_mesh() if use_mesh and len(jax.devices()) > 1 else None
     trainer = LTRTrainer(actor, [loader], optimizer, settings,
                          settings.checkpoint_dir + "/dimp/prdimp50",

@@ -9,6 +9,8 @@ from __future__ import annotations
 import numpy as np
 import optax
 
+from pytracking_tpu.training.optim import adam_per_module, step_lr
+
 from pytracking_tpu.models.tcm.target_candidate_matching import \
     target_candidate_matching_net_resnet50
 from pytracking_tpu.parallel.mesh import make_mesh
@@ -80,8 +82,8 @@ def run(settings: Settings, datasets=None, max_epochs: int = 15,
     variables = net.init(jax.random.PRNGKey(0), *args, train=False)
     actor = make_tcm_actor(net)
 
-    optimizer = optax.adam(optax.exponential_decay(
-        1e-4, max(len(loader), 1) * 10, 0.2, staircase=True))
+    # reference keep_track.py:119-121: whole net at 1e-4, StepLR(6, 0.2)
+    optimizer = optax.adam(step_lr(1e-4, len(loader), step_size=6, gamma=0.2))
     mesh = make_mesh() if use_mesh and len(jax.devices()) > 1 else None
     trainer = LTRTrainer(actor, [loader], optimizer, settings,
                          settings.checkpoint_dir + "/keep_track/keep_track",

@@ -7,6 +7,8 @@ from __future__ import annotations
 
 import optax
 
+from pytracking_tpu.training.optim import adam_per_module, step_lr
+
 from pytracking_tpu.models.tracking.kysnet import kysnet_res50
 from pytracking_tpu.parallel.mesh import make_mesh
 from pytracking_tpu.training import transforms as tfm
@@ -78,8 +80,11 @@ def run(settings: Settings, datasets=None, max_epochs: int = 40,
                    **v_pred.get("batch_stats", {})}
     actor = make_kys_actor(net)
 
-    optimizer = optax.adam(optax.exponential_decay(
-        1e-4, max(len(loader), 1) * 30, 0.2, staircase=True))
+    # reference kys.py:141-144: ONLY the response predictor trains (1e-2); the
+    # DiMP base net is frozen; StepLR(15, 0.2)
+    optimizer = adam_per_module(1e-2, {"predictor": 1e-2},
+                                steps_per_epoch=len(loader), step_size=15,
+                                gamma=0.2, freeze_unlisted=True)
     mesh = make_mesh() if use_mesh and len(jax.devices()) > 1 else None
     trainer = LTRTrainer(actor, [loader], optimizer, settings,
                          settings.checkpoint_dir + "/kys/kys",

@@ -6,6 +6,8 @@ from __future__ import annotations
 
 import optax
 
+from pytracking_tpu.training.optim import adam_per_module, step_lr
+
 from pytracking_tpu.models.lwl.lwl_net import steepest_descent_resnet50_boxinit
 from pytracking_tpu.parallel.mesh import make_mesh
 from pytracking_tpu.training import transforms as tfm
@@ -50,8 +52,11 @@ def run(settings: Settings, datasets=None, max_epochs: int = 40,
                          method=net.box_forward)
     actor = make_lwl_box_actor(net)
 
-    optimizer = optax.adam(optax.exponential_decay(
-        1e-4, max(len(loader), 1) * 25, 0.2, staircase=True))
+    # reference lwl_boxinit.py:124-127: ONLY the box label encoder trains (1e-3);
+    # StepLR(20, 0.2)
+    optimizer = adam_per_module(2e-4, {"box_label_encoder": 1e-3},
+                                steps_per_epoch=len(loader), step_size=20,
+                                gamma=0.2, freeze_unlisted=True)
     mesh = make_mesh() if use_mesh and len(jax.devices()) > 1 else None
     trainer = LTRTrainer(actor, [loader], optimizer, settings,
                          settings.checkpoint_dir + "/lwl/lwl_boxinit",

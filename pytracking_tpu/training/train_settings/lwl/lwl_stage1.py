@@ -6,6 +6,8 @@ from __future__ import annotations
 
 import optax
 
+from pytracking_tpu.training.optim import adam_per_module, step_lr
+
 from pytracking_tpu.models.lwl.lwl_net import steepest_descent_resnet50
 from pytracking_tpu.parallel.mesh import make_mesh
 from pytracking_tpu.training import transforms as tfm
@@ -55,8 +57,16 @@ def run(settings: Settings, datasets=None, max_epochs: int = 70,
                          num_refinement_iter=num_refinement_iter, train=False)
     actor = make_lwl_actor(net, num_refinement_iter=num_refinement_iter)
 
-    optimizer = optax.adam(optax.exponential_decay(
-        2e-4, max(len(loader), 1) * 30, 0.2, staircase=True))
+    # reference lwl_stage1.py:132-139: per-module LRs, backbone frozen,
+    # MultiStepLR([40], 0.2). The torch filter_initializer/filter_optimizer split
+    # maps to target_model here (the scan-based learner's filter_reg) with its
+    # feature extractor at 2e-5.
+    optimizer = adam_per_module(
+        2e-4,
+        {"target_model/feature_extractor": 2e-5, "target_model": 1e-4,
+         "decoder": 1e-4, "label_encoder": 2e-4},
+        steps_per_epoch=len(loader), milestones=(40,), gamma=0.2,
+        freeze_unlisted=True)
     mesh = make_mesh() if use_mesh and len(jax.devices()) > 1 else None
     trainer = LTRTrainer(actor, [loader], optimizer, settings,
                          settings.checkpoint_dir + "/" + ckpt_subdir,

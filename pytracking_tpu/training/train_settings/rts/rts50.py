@@ -5,6 +5,8 @@ from __future__ import annotations
 
 import optax
 
+from pytracking_tpu.training.optim import adam_per_module, step_lr
+
 from pytracking_tpu.models.rts.rts_net import rts50
 from pytracking_tpu.parallel.mesh import make_mesh
 from pytracking_tpu.training import transforms as tfm
@@ -53,8 +55,17 @@ def run(settings: Settings, datasets=None, max_epochs: int = 200,
                          jnp.array([[[100.0, 100.0, 50.0, 50.0]]]), train=False)
     actor = make_rts_actor(net)
 
-    optimizer = optax.adam(optax.exponential_decay(
-        2e-4, max(len(loader), 1) * 60, 0.2, staircase=True))
+    # reference rts50.py:185-200: backbone layers 2-4 at 4e-5, mask branch at
+    # 8e-5, classifier branch at 2e-4, conv1/layer1 frozen,
+    # MultiStepLR([25, 115, 160], 0.2)
+    optimizer = adam_per_module(
+        4e-5,
+        {"feature_extractor/layer2_": 4e-5, "feature_extractor/layer3_": 4e-5,
+         "feature_extractor/layer4_": 4e-5, "target_model": 8e-5,
+         "label_encoder": 8e-5, "decoder": 8e-5, "clf_encoder": 2e-4,
+         "fusion_module": 2e-4, "classifier": 2e-4},
+        steps_per_epoch=len(loader), milestones=(25, 115, 160), gamma=0.2,
+        freeze_unlisted=True)
     mesh = make_mesh() if use_mesh and len(jax.devices()) > 1 else None
     trainer = LTRTrainer(actor, [loader], optimizer, settings,
                          settings.checkpoint_dir + "/rts/rts50",

@@ -6,6 +6,8 @@ from __future__ import annotations
 
 import optax
 
+from pytracking_tpu.training.optim import adam_per_module, step_lr
+
 from pytracking_tpu.models.tracking.tamosnet import tamosnet_resnet50
 from pytracking_tpu.parallel.mesh import make_mesh
 from pytracking_tpu.training import transforms as tfm
@@ -51,7 +53,8 @@ def run(settings: Settings, datasets=None, max_epochs: int = 100,
     import jax.numpy as jnp
 
     net = net or tamosnet_resnet50(num_tokens=num_objects,
-                                   feature_sz=settings.feature_sz)
+                                   feature_sz=settings.feature_sz,
+                                   freeze_backbone_bn=True)
     sz, K, h = settings.output_sz, num_objects, settings.feature_sz
     variables = net.init(
         jax.random.PRNGKey(0), jnp.zeros((1, 1, sz, sz, 3)),
@@ -59,8 +62,16 @@ def run(settings: Settings, datasets=None, max_epochs: int = 100,
         jnp.zeros((1, 1, K, 4, h, h)), train=False)
     actor = make_tamos_actor(net)
 
-    optimizer = optax.adamw(optax.exponential_decay(
-        1e-4, max(len(loader), 1) * 50, 0.2, staircase=True), weight_decay=1e-4)
+    # reference tamos_resnet50.py:179-184: AdamW, head at 1e-4 + backbone layer3
+    # at 2e-5, rest frozen, MultiStepLR([150, 250], 0.2). "head" in torch covers
+    # everything but the backbone.
+    optimizer = adam_per_module(
+        2e-4,
+        {"head_feature_extractor": 1e-4, "filter_predictor": 1e-4,
+         "classifier": 1e-4, "bb_regressor": 1e-4, "fpn": 1e-4,
+         "feature_extractor/layer3_": 2e-5},
+        steps_per_epoch=len(loader), milestones=(150, 250), gamma=0.2,
+        weight_decay=1e-4, freeze_unlisted=True)
     mesh = make_mesh() if use_mesh and len(jax.devices()) > 1 else None
     trainer = LTRTrainer(actor, [loader], optimizer, settings,
                          settings.checkpoint_dir + "/tamos/tamos_resnet50",

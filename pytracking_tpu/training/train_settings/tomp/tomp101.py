@@ -8,5 +8,6 @@ from pytracking_tpu.training.train_settings.tomp.tomp50 import run as _run_tomp5
 
 def run(settings: Settings, **kwargs):
     settings.description = "ToMP-101 (reference recipe defaults)"
-    net = kwargs.pop("net", None) or tompnet101(feature_sz=settings.feature_sz)
+    net = kwargs.pop("net", None) or tompnet101(feature_sz=settings.feature_sz,
+                                                freeze_backbone_bn=True)
     return _run_tomp50(settings, net=net, **kwargs)

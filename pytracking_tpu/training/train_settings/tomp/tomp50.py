@@ -4,6 +4,8 @@ from __future__ import annotations
 
 import optax
 
+from pytracking_tpu.training.optim import adam_per_module
+
 from pytracking_tpu.models.tracking.tompnet import tompnet50
 from pytracking_tpu.parallel.mesh import make_mesh
 from pytracking_tpu.training import transforms as tfm
@@ -46,7 +48,8 @@ def run(settings: Settings, datasets=None, max_epochs: int = 300,
     import jax
     import jax.numpy as jnp
 
-    net = net or tompnet50(feature_sz=settings.feature_sz)
+    net = net or tompnet50(feature_sz=settings.feature_sz,
+                           freeze_backbone_bn=True)
     sz = settings.output_sz
     f = settings.feature_sz
     example = (jnp.zeros((2, 1, sz, sz, 3)), jnp.zeros((1, 1, sz, sz, 3)),
@@ -54,9 +57,12 @@ def run(settings: Settings, datasets=None, max_epochs: int = 300,
     variables = net.init(jax.random.PRNGKey(0), *example, train=False)
     actor = make_tomp_actor(net)
 
-    schedule = optax.piecewise_constant_schedule(
-        1e-4, {150 * max(len(loader), 1): 0.2, 250 * max(len(loader), 1): 0.2})
-    optimizer = optax.adamw(schedule)
+    # reference tomp50.py:139-144: AdamW trains ONLY head (1e-4) + backbone layer3
+    # (2e-5); everything else frozen; MultiStepLR([150, 250], 0.2)
+    optimizer = adam_per_module(
+        2e-4, {"head": 1e-4, "feature_extractor/layer3_": 2e-5},
+        steps_per_epoch=len(loader), milestones=(150, 250), gamma=0.2,
+        weight_decay=1e-4, freeze_unlisted=True)
 
     mesh = make_mesh() if use_mesh and len(jax.devices()) > 1 else None
     trainer = LTRTrainer(actor, [loader], optimizer, settings,

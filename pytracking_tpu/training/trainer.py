@@ -113,7 +113,9 @@ class LTRTrainer(BaseTrainer):
 
     def __init__(self, actor, loaders: List, optimizer, settings,
                  checkpoint_dir: str, params, batch_stats=None, mesh=None,
-                 lr_schedule=None, print_interval: int = 10):
+                 print_interval: int = 10):
+        # LR schedules live inside the optax optimizer (training/optim.py), not as
+        # a separate scheduler object like torch
         super().__init__(settings, checkpoint_dir)
         from pytracking_tpu.parallel.mesh import make_train_step
 
