@@ -65,6 +65,15 @@ class KeepTrackState(DiMPState):
     target_not_found_counter: jnp.ndarray = None  # () int32
     scale_history: jnp.ndarray = None        # (60,) chronological, newest at [-1]
     scale_history_n: jnp.ndarray = None      # () int32 number of valid entries
+    # device-side candidate association (functional twin of CandidateCollection,
+    # fixed K slots; used by the fused single-dispatch track step)
+    assoc_object_ids: jnp.ndarray = None     # (K,) int32, -1 = empty slot
+    assoc_hist_scores: jnp.ndarray = None    # (K,) running max score per track
+    assoc_selected_oid: jnp.ndarray = None   # () int32
+    assoc_certain: jnp.ndarray = None        # () bool
+    assoc_flag: jnp.ndarray = None           # () int32
+    assoc_id_cntr: jnp.ndarray = None        # () int32
+    assoc_active: jnp.ndarray = None         # () bool
 
 
 class Candidate:
@@ -165,13 +174,21 @@ class KeepTrackTracker(DiMPTracker):
     matching network."""
 
     def __init__(self, params: KeepTrackParams, net, variables, tcm_net=None,
-                 tcm_variables=None):
+                 tcm_variables=None, device_association: bool = False):
+        """device_association=True fuses part1 + candidate association + part2 into
+        ONE jitted dispatch: the CandidateCollection rules run on-device over the K
+        fixed slots (`_associate_device`), eliminating the per-frame host sync and
+        making the whole tracker lax.scan-able. The host CandidateCollection path
+        (the reference's split) remains the default."""
         super().__init__(params, net, variables)
         self.tcm_net = tcm_net
         self.tcm_variables = jax.device_put(tcm_variables) \
             if tcm_variables is not None else None
         self._jit_part1 = self._jit_with_variables(self._track_part1)
         self._jit_part2 = self._jit_with_variables(self._track_part2)
+        self.device_association = device_association
+        if device_association:
+            self._jit_track = self._jit_with_variables(self._track_impl)
         self.candidate_collection: Optional[CandidateCollection] = None
 
     # ---------------------------------------------------------------- tcm helpers
@@ -209,8 +226,16 @@ class KeepTrackTracker(DiMPTracker):
             mem_certainties=jnp.where(jnp.arange(M) < base["num_stored"], 1.0, 0.0),
             target_not_found_counter=jnp.asarray(0, jnp.int32),
             scale_history=jnp.zeros((60,)),
-            scale_history_n=jnp.asarray(0, jnp.int32))
+            scale_history_n=jnp.asarray(0, jnp.int32),
+            assoc_object_ids=jnp.full((K,), -1, jnp.int32),
+            assoc_hist_scores=jnp.zeros((K,)),
+            assoc_selected_oid=jnp.asarray(0, jnp.int32),
+            assoc_certain=jnp.asarray(True),
+            assoc_flag=jnp.asarray(FLAG_NORMAL, jnp.int32),
+            assoc_id_cntr=jnp.asarray(0, jnp.int32),
+            assoc_active=jnp.asarray(False))
         self.candidate_collection = None
+        self._frame_num_host = 1   # host-side mirror (avoids a device fetch)
         return out
 
     # ---------------------------------------------------------------- track
@@ -218,22 +243,42 @@ class KeepTrackTracker(DiMPTracker):
     def track(self, image, info: Optional[dict] = None) -> dict:
         p = self.params
         im = jnp.asarray(image)
-        state, part1 = self._jit_part1(self.variables, self.state, im)
+        if self.device_association:
+            self.state, out = self._jit_track(self.variables, self.state, im)
+            host = jax.device_get(out)
+            flag_name = FLAG_NAMES[int(host["flag"])]
+            bbox = np.asarray(host["target_bbox"]).tolist()
+            if p.output_not_found_box and flag_name == "not_found":
+                bbox = [-1, -1, -1, -1]
+            return {"target_bbox": bbox,
+                    "max_score": float(host["max_score"]),
+                    "object_presence_score": float(host["object_presence_score"]),
+                    "flag": flag_name}
 
-        # fetch the small candidate arrays for host-side association
-        cand_scores = np.asarray(part1["cand_scores"])
-        cand_coords = np.asarray(part1["cand_coords"])       # (K, 2) score-grid rc
-        cand_valid = np.asarray(part1["cand_valid"])
-        matches = np.asarray(part1["matches"])
-        match_scores = np.asarray(part1["match_scores"])
-        max_score1 = float(part1["max_score"])
-        prev_frame_gap = int(part1["prev_frame_gap"])
+        state, part1 = self._jit_part1(self.variables, self.state, im)
+        self._frame_num_host += 1
+
+        # fetch the small candidate arrays for host-side association in ONE
+        # device_get (per-array np.asarray costs one blocking tunnel round-trip
+        # each — 7 fetches were ~250 ms/frame through the remote-TPU link)
+        host = jax.device_get({k: part1[k] for k in
+                               ("cand_scores", "cand_coords", "cand_valid",
+                                "matches", "match_scores", "max_score",
+                                "prev_frame_gap")})
+        cand_scores = host["cand_scores"]
+        cand_coords = host["cand_coords"]                    # (K, 2) score-grid rc
+        cand_valid = host["cand_valid"]
+        matches = host["matches"]
+        match_scores = host["match_scores"]
+        max_score1 = float(host["max_score"])
+        prev_frame_gap = int(host["prev_frame_gap"])
 
         K = int(cand_valid.sum())
         scores_l = cand_scores[:K].tolist()
         coords_l = [cand_coords[i] for i in range(K)]
 
         use_matching = max_score1 >= p.local_max_candidate_score_th and K > 0
+        sel_is_grid = False
         if not use_matching or prev_frame_gap > 1 or self.candidate_collection is None:
             # fall back to standard DiMP localization (device already computed it)
             sel_coord = np.asarray(part1["default_disp"])
@@ -242,7 +287,7 @@ class KeepTrackTracker(DiMPTracker):
             if use_matching:
                 self.candidate_collection = CandidateCollection(
                     scores_l, coords_l,
-                    candidate_selection_is_certain=int(self.state.frame_num) < 10)
+                    candidate_selection_is_certain=self._frame_num_host < 10)
             else:
                 self.candidate_collection = None
         else:
@@ -256,6 +301,7 @@ class KeepTrackTracker(DiMPTracker):
                 cand_score = max_score1
             else:
                 sel_coord = cand_coords[cid]
+                sel_is_grid = True
                 flag_code = {"normal": FLAG_NORMAL,
                              "not_found": FLAG_NOT_FOUND}[
                     self.candidate_collection.flag]
@@ -269,12 +315,14 @@ class KeepTrackTracker(DiMPTracker):
         self.state, out = self._jit_part2(
             self.variables, state, part1["backbone_l2"], part1["backbone_l3"], part1["test_x"],
             part1["sample_pos"], part1["sample_scale"],
-            jnp.asarray(sel_coord, jnp.float32), jnp.asarray(flag_code, jnp.int32),
+            jnp.asarray(sel_coord, jnp.float32), jnp.asarray(sel_is_grid),
+            jnp.asarray(flag_code, jnp.int32),
             jnp.asarray(cand_score, jnp.float32),
             jnp.asarray(max_score1, jnp.float32), jnp.asarray(is_object0))
 
         presence = max(max_score1, math.sqrt(max(max_score1, 0.0))) \
             if is_object0 else max_score1
+        out = jax.device_get(out)   # one transfer for bbox/score/flag
         flag_name = FLAG_NAMES[int(out["flag"])]
         bbox = np.asarray(out["target_bbox"]).tolist()
         if self.params.output_not_found_box and flag_name == "not_found":
@@ -371,25 +419,167 @@ class KeepTrackTracker(DiMPTracker):
             "sample_pos": sample_pos, "sample_scale": sample_scale,
         }
 
+    # ------------------------------------------------ device-side association
+
+    def _associate_device(self, state: KeepTrackState, p1):
+        """CandidateCollection as pure array ops over K fixed slots (functional twin
+        of reference candidates.py:12-114; tested against the host class). Returns
+        (state, sel_coord, sel_is_grid, flag, cand_score, is_object0)."""
+        p = self.params
+        K = p.max_candidates
+        idxs = jnp.arange(K)
+        cand_scores = p1["cand_scores"]
+        cand_valid = p1["cand_valid"]
+        matches = p1["matches"]
+        match_scores = p1["match_scores"]
+        max_score = p1["max_score"]
+        n_valid = cand_valid.sum()
+
+        use_matching = (max_score >= p.local_max_candidate_score_th) & (n_valid > 0)
+        do_update = use_matching & state.assoc_active & \
+            (p1["prev_frame_gap"] <= 1)
+        do_create = use_matching & ~do_update
+
+        NORMAL = jnp.asarray(FLAG_NORMAL, jnp.int32)
+        NOT_FOUND = jnp.asarray(FLAG_NOT_FOUND, jnp.int32)
+
+        # ---- create (candidates.py:13-25): ids 0.. when certain else 1..,
+        # selected = slot 0 (slots arrive sorted by score)
+        cr_certain = state.frame_num < 10
+        offset = jnp.where(cr_certain, 0, 1).astype(jnp.int32)
+        cr_ids = jnp.where(cand_valid, idxs + offset, -1).astype(jnp.int32)
+        cr_hist = jnp.where(cand_valid, cand_scores, 0.0)
+        cr_sel_oid = offset
+        cr_id_cntr = offset + n_valid.astype(jnp.int32)
+
+        # ---- update (candidates.py:27-114)
+        prev_ids = state.assoc_object_ids
+        prev_hist = state.assoc_hist_scores
+        sel_oid = state.assoc_selected_oid
+        m_safe = jnp.maximum(matches, 0)
+        matched = cand_valid & (matches >= 0) & (prev_ids[m_safe] >= 0)
+        inh_oid = prev_ids[m_safe]
+        low_prob = (match_scores < 0.6) | ((match_scores < 0.85) &
+                                           (cand_scores < 0.2))
+        steal = matched & (inh_oid == sel_oid) & low_prob
+        new_needed = cand_valid & ((~matched) | steal)
+        rank = jnp.cumsum(new_needed.astype(jnp.int32)) - \
+            new_needed.astype(jnp.int32)
+        new_ids = state.assoc_id_cntr + rank
+        up_ids = jnp.where(cand_valid,
+                           jnp.where(new_needed, new_ids, inh_oid),
+                           -1).astype(jnp.int32)
+        # host aliasing semantics (candidates.py:36-47): slots matching the SAME
+        # previous candidate share one Candidate object — their score histories
+        # merge, and scores[-1] ("recent", used by reselect) is the LAST sharer's
+        # score this frame
+        keep = matched & ~steal
+        # group by OBJECT identity (= inherited oid): two prev slots can hold the
+        # same shared object, so keying on the matched slot index is not enough
+        grp = keep[:, None] & keep[None, :] & \
+            (inh_oid[:, None] == inh_oid[None, :])
+        shared_max = jnp.max(jnp.where(grp, cand_scores[None, :], -jnp.inf),
+                             axis=1)
+        last_sharer = jnp.max(jnp.where(grp, idxs[None, :], -1), axis=1)
+        recent = jnp.where(keep,
+                           cand_scores[jnp.maximum(last_sharer, 0)], cand_scores)
+        up_hist = jnp.where(keep,
+                            jnp.maximum(prev_hist[m_safe], shared_max),
+                            cand_scores)
+        up_hist = jnp.where(cand_valid, up_hist, 0.0)
+        up_id_cntr = state.assoc_id_cntr + new_needed.sum().astype(jnp.int32)
+
+        # detected? (candidates.py:64-79 — last matching cid wins)
+        matchmask = cand_valid & (up_ids == sel_oid)
+        detected = matchmask.any()
+        sel_cid_det = jnp.max(jnp.where(matchmask, idxs, -1)).astype(jnp.int32)
+        certain_det = state.assoc_certain | (matchmask & (up_hist > 0.75)).any()
+        flag_det = NORMAL
+
+        # more suitable candidate at slot 0? (candidates.py:81-92)
+        better0 = detected & (sel_cid_det != 0) & cand_valid[0] & \
+            (up_hist[0] > up_hist[jnp.maximum(sel_cid_det, 0)])
+        sel_cid_det = jnp.where(better0, 0, sel_cid_det)
+        sel_oid_det = jnp.where(better0, up_ids[0], sel_oid)
+
+        # not detected: cleanup + reselect on each track's most-recent score
+        # (candidates.py:94-114)
+        flag_nf0 = jnp.where(state.assoc_flag == NORMAL, NOT_FOUND,
+                             state.assoc_flag)
+        recent_ok = cand_valid & (recent > 0.25)
+        any_ok = recent_ok.any()
+        best = jnp.argmax(jnp.where(recent_ok, recent,
+                                    -jnp.inf)).astype(jnp.int32)
+        sel_cid_nf = jnp.where(any_ok, best, -1)
+        sel_oid_nf = jnp.where(any_ok, up_ids[jnp.maximum(best, 0)], sel_oid)
+        flag_nf = jnp.where(any_ok, NORMAL, flag_nf0)
+
+        up_sel_cid = jnp.where(detected, sel_cid_det, sel_cid_nf)
+        up_sel_oid = jnp.where(detected, sel_oid_det, sel_oid_nf)
+        up_flag = jnp.where(detected, flag_det, flag_nf)
+        up_certain = jnp.where(detected, certain_det, False)
+
+        # ---- merge the three cases into the persistent association state
+        def pick(cr, up, prev):
+            return jnp.where(do_create, cr, jnp.where(do_update, up, prev))
+
+        state = state.replace(
+            assoc_object_ids=pick(cr_ids, up_ids, state.assoc_object_ids),
+            assoc_hist_scores=pick(cr_hist, up_hist, state.assoc_hist_scores),
+            assoc_selected_oid=pick(cr_sel_oid, up_sel_oid,
+                                    state.assoc_selected_oid),
+            assoc_certain=pick(cr_certain, up_certain, state.assoc_certain),
+            assoc_flag=pick(NORMAL, up_flag, state.assoc_flag),
+            assoc_id_cntr=pick(cr_id_cntr, up_id_cntr, state.assoc_id_cntr),
+            assoc_active=use_matching)
+
+        # ---- selection output (track() routing in the host path)
+        has_cand = do_update & (up_sel_cid >= 0)
+        sel_coord = jnp.where(has_cand,
+                              p1["cand_coords"][jnp.maximum(up_sel_cid, 0)],
+                              p1["default_disp"])
+        flag = jnp.where(has_cand, up_flag,
+                         jnp.where(do_update, NOT_FOUND,
+                                   p1["default_flag"].astype(jnp.int32)))
+        cand_score = jnp.where(has_cand,
+                               cand_scores[jnp.maximum(up_sel_cid, 0)], max_score)
+        is_object0 = jnp.where(use_matching, state.assoc_selected_oid == 0, True)
+        return state, sel_coord, has_cand, flag, cand_score, is_object0
+
+    def _track_impl(self, state: KeepTrackState, im):
+        """Fully fused single-dispatch step (device_association mode): part1 +
+        on-device association + part2. lax.scan-able."""
+        state, p1 = self._track_part1(state, im)
+        state, sel_coord, sel_is_grid, flag, cand_score, is_object0 = \
+            self._associate_device(state, p1)
+        state, out = self._track_part2(
+            state, p1["backbone_l2"], p1["backbone_l3"], p1["test_x"],
+            p1["sample_pos"], p1["sample_scale"], sel_coord, sel_is_grid, flag,
+            cand_score, p1["max_score"], is_object0)
+        out["object_presence_score"] = jnp.where(
+            is_object0,
+            jnp.maximum(p1["max_score"],
+                        jnp.sqrt(jnp.maximum(p1["max_score"], 0.0))),
+            p1["max_score"])
+        return state, out
+
     # ---------------------------------------------------------------- device step 2
 
     def _track_part2(self, state: KeepTrackState, backbone_l2, backbone_l3, test_x,
-                     sample_pos, sample_scale, sel_coord, flag, cand_score,
-                     certainty, is_object0):
-        """sel_coord: either a score-grid (r, c) candidate coordinate (when matching
-        selected a candidate; flag from the collection) or directly an image-coord
-        translation (fallback path passes `default_disp`). We distinguish by treating
-        the 2-vector as a translation when any |v| > score grid size."""
+                     sample_pos, sample_scale, sel_coord, sel_is_grid, flag,
+                     cand_score, certainty, is_object0):
+        """sel_coord: a score-grid (r, c) candidate coordinate when sel_is_grid
+        (matching selected a candidate; flag from the collection), else directly an
+        image-coord translation (fallback path passes `default_disp`)."""
         p = self.params
         img_sample_sz = jnp.array(self._img_sample_sz, jnp.float32)
         score_sz = float(self._score_sz)
         output_sz = score_sz
         score_center = (score_sz - 1) / 2
 
-        is_grid_coord = jnp.all(jnp.abs(sel_coord) <= score_sz)
         disp_from_grid = (sel_coord - score_center) * \
             (img_sample_sz / output_sz) * sample_scale
-        translation = jnp.where(is_grid_coord, disp_from_grid, sel_coord)
+        translation = jnp.where(sel_is_grid, disp_from_grid, sel_coord)
         new_pos = sample_pos + translation
 
         found = flag != FLAG_NOT_FOUND

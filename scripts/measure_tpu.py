@@ -114,8 +114,8 @@ def measure_keep_track(n=30):
     jax.block_until_ready(part1_out)
     args2 = (part1_out["backbone_l2"], part1_out["backbone_l3"], part1_out["test_x"],
              part1_out["sample_pos"], part1_out["sample_scale"],
-             jnp.zeros(2), jnp.asarray(0, jnp.int32), jnp.asarray(0.5),
-             jnp.asarray(0.5), jnp.asarray(True))
+             jnp.zeros(2), jnp.asarray(False), jnp.asarray(0, jnp.int32),
+             jnp.asarray(0.5), jnp.asarray(0.5), jnp.asarray(True))
     holder2 = {"state": state}
 
     def part2():
@@ -149,12 +149,23 @@ def measure_rts(n=20):
 
     dev_frame = jax.device_put(jnp.asarray(frame))
     jax.block_until_ready(dev_frame)
+    # raw device step (pipelined; prev-prob stays device-resident)
+    st = tracker.state
+    st, out = tracker._jit_track(tracker.variables, st, dev_frame, st.seg_raw)
+    jax.block_until_ready(out["target_bbox"])
     t0 = time.perf_counter()
     for _ in range(n):
-        tracker.track(dev_frame)
-    jax.block_until_ready(tracker.state.pos)
+        st, out = tracker._jit_track(tracker.variables, st, dev_frame, st.seg_raw)
+    jax.block_until_ready(out["target_bbox"])
     ms = 1000 * (time.perf_counter() - t0) / n
-    print(f"{'rts':14s} full step   {ms:7.2f} ms/frame  ({1000 / ms:7.1f} FPS)")
+    # e2e incl. the full-image mask fetch (through the tunnel this is dominated
+    # by the ~1.2MB segmentation_raw transfer per frame)
+    t0 = time.perf_counter()
+    for _ in range(5):
+        tracker.track(dev_frame)
+    e2e_ms = 1000 * (time.perf_counter() - t0) / 5
+    print(f"{'rts':14s} device step {ms:7.2f} ms/frame  ({1000 / ms:7.1f} FPS)  "
+          f"[e2e w/ mask fetch {e2e_ms:.1f} ms]")
     return ms
 
 
@@ -178,6 +189,14 @@ def main():
             measure_jit_track("tamos_swin", "tamos.tamos_swin_base", TaMOsTracker)
         elif t == "keep_track":
             measure_keep_track()
+        elif t == "keep_track_device":
+            from pytracking_tpu.trackers.keep_track import KeepTrackTracker
+
+            spec = _spec("keep_track.default")
+            kw = dict(spec.tracker_kwargs or {})
+            kw["device_association"] = True
+            measure_jit_track("keep_track_dev", "keep_track.default",
+                              lambda p, n, v, **k: KeepTrackTracker(p, n, v, **kw))
         elif t == "rts":
             measure_rts()
         else:

@@ -176,3 +176,180 @@ def test_rts_sta_boxinit_mask_confined_to_box():
     # a tracking step still runs end-to-end with the STA-initialized mask
     out = tracker.track(rng.randint(0, 255, (96, 96, 3)).astype(np.uint8))
     assert np.all(np.isfinite(out["target_bbox"]))
+
+
+def test_device_association_matches_host_collection():
+    """_associate_device (fixed K-slot array ops) must reproduce the host
+    CandidateCollection's selection, flag, object-0 status, and certainty over
+    random multi-frame scenarios, including create / steal / lost / reselect."""
+    import jax.numpy as jnp
+
+    from pytracking_tpu.trackers.dimp import FLAG_NORMAL, FLAG_NOT_FOUND
+    from pytracking_tpu.trackers.keep_track import (CandidateCollection,
+                                                    KeepTrackParams,
+                                                    KeepTrackState,
+                                                    KeepTrackTracker)
+
+    K = 5
+    tr = KeepTrackTracker.__new__(KeepTrackTracker)
+    tr.params = KeepTrackParams(max_candidates=K,
+                                local_max_candidate_score_th=0.05)
+
+    rng = np.random.RandomState(0)
+    for trial in range(20):
+        # device state (only the fields association touches)
+        dev = dict(assoc_object_ids=jnp.full((K,), -1, jnp.int32),
+                   assoc_hist_scores=jnp.zeros((K,)),
+                   assoc_selected_oid=jnp.asarray(0, jnp.int32),
+                   assoc_certain=jnp.asarray(True),
+                   assoc_flag=jnp.asarray(FLAG_NORMAL, jnp.int32),
+                   assoc_id_cntr=jnp.asarray(0, jnp.int32),
+                   assoc_active=jnp.asarray(False))
+        state = KeepTrackState(
+            **{f: None for f in KeepTrackState.__dataclass_fields__
+               if f not in dev and f != "frame_num"},
+            frame_num=jnp.asarray(1, jnp.int32), **dev)
+
+        collection = None
+        prev_n = 0
+        for step in range(12):
+            frame_num = step + 2
+            n_valid = rng.randint(1, K + 1)
+            scores = np.sort(rng.rand(n_valid))[::-1].astype(np.float32)
+            # occasionally drop all candidates below threshold (no matching)
+            if rng.rand() < 0.15:
+                scores = scores * 0.03
+            matches = np.full(K, -1, np.int64)
+            mscores = np.zeros(K, np.float32)
+            for i in range(n_valid):
+                if prev_n > 0 and rng.rand() < 0.7:
+                    matches[i] = rng.randint(0, prev_n)
+                    mscores[i] = rng.rand()
+            cand_scores = np.zeros(K, np.float32)
+            cand_scores[:n_valid] = scores
+            cand_valid = np.arange(K) < n_valid
+            max_score = float(scores[0])
+
+            p1 = {"cand_scores": jnp.asarray(cand_scores),
+                  "cand_coords": jnp.stack([jnp.arange(K, dtype=jnp.float32)] * 2,
+                                           axis=-1),
+                  "cand_valid": jnp.asarray(cand_valid),
+                  "matches": jnp.asarray(matches, jnp.int32),
+                  "match_scores": jnp.asarray(mscores),
+                  "max_score": jnp.asarray(max_score),
+                  "prev_frame_gap": jnp.asarray(1, jnp.int32),
+                  "default_disp": jnp.asarray([99.0, 99.0]),
+                  "default_flag": jnp.asarray(FLAG_NORMAL, jnp.int32)}
+            state = state.replace(frame_num=jnp.asarray(frame_num, jnp.int32))
+            state, sel_coord, has_cand, flag, cand_score, is_obj0 = \
+                tr._associate_device(state, p1)
+
+            # host reference routing (mirrors KeepTrackTracker.track)
+            use_matching = max_score >= 0.05 and n_valid > 0
+            scores_l = cand_scores[:n_valid].tolist()
+            coords_l = [np.array([i, i]) for i in range(n_valid)]
+            if not use_matching or collection is None:
+                host_cid, host_flag = None, None
+                if use_matching:
+                    collection = CandidateCollection(
+                        scores_l, coords_l,
+                        candidate_selection_is_certain=frame_num < 10)
+                else:
+                    collection = None
+                assert not bool(has_cand), (trial, step)
+            else:
+                collection.update(scores_l, coords_l, matches[:n_valid].tolist(),
+                                  mscores[:n_valid].tolist())
+                host_cid = collection.candidate_id_of_selected_candidate
+                if host_cid is None or host_cid >= n_valid:
+                    assert not bool(has_cand) or int(flag) == FLAG_NOT_FOUND, \
+                        (trial, step)
+                else:
+                    assert bool(has_cand), (trial, step)
+                    assert int(np.asarray(sel_coord)[0]) == host_cid, \
+                        (trial, step, host_cid, np.asarray(sel_coord))
+                    host_flag = {"normal": FLAG_NORMAL,
+                                 "not_found": FLAG_NOT_FOUND}[collection.flag]
+                    assert int(flag) == host_flag, (trial, step)
+                    assert abs(float(cand_score) - scores_l[host_cid]) < 1e-6
+
+            host_obj0 = (collection is None
+                         or collection.object_id_of_selected_candidate == 0)
+            assert bool(is_obj0) == host_obj0, (trial, step)
+            if collection is not None:
+                assert bool(state.assoc_certain) == \
+                    collection.candidate_selection_is_certain, (trial, step)
+            prev_n = n_valid if use_matching else 0
+            if not use_matching:
+                # device keeps assoc_active=False; host dropped the collection
+                assert not bool(state.assoc_active)
+
+
+@pytest.mark.filterwarnings("ignore")
+def test_keep_track_device_association_end_to_end():
+    """device_association=True: ONE jitted dispatch per frame, scan-able."""
+    import jax
+    import jax.numpy as jnp
+
+    from pytracking_tpu.models.backbones.resnet import ResNet
+    from pytracking_tpu.models.tcm.superglue import SuperGlueMatcher
+    from pytracking_tpu.models.tcm.target_candidate_matching import (
+        DescriptorExtractor, TargetCandidateMatchingNetwork)
+    from pytracking_tpu.trackers.keep_track import (KeepTrackParams,
+                                                    KeepTrackTracker)
+    from tests.test_dimp_tracker import make_frame, tiny_dimpnet
+
+    net = tiny_dimpnet()
+    params = KeepTrackParams(
+        image_sample_size=96, search_area_scale=5.0, border_mode="replicate",
+        patch_max_scale_change=None, kernel_size=4, sample_memory_size=8,
+        net_opt_iter=3, net_opt_update_iter=1, train_skipping=5,
+        augmentation=(("fliplr", True),), num_init_random_boxes=3,
+        box_refinement_iter=2, iounet_k=2, max_candidates=4)
+    dummy = jnp.zeros((1, 1, 96, 96, 3))
+    bb = jnp.array([[[30.0, 30.0, 20.0, 20.0]]])
+    prop = jnp.array([[[[30.0, 30.0, 20.0, 20.0]]]])
+    variables = net.init(jax.random.PRNGKey(0), dummy, dummy, bb, prop,
+                         train=False)
+    tcm_backbone = ResNet(block="basic", layers=(1, 1, 1, 1),
+                          output_layers=("layer3",), base_width=8)
+    tcm_net = TargetCandidateMatchingNetwork(
+        feature_extractor=tcm_backbone,
+        descriptor_extractor=DescriptorExtractor(descriptor_dim=256,
+                                                 kernel_size=4),
+        matcher=SuperGlueMatcher(input_dim=256, descriptor_dim=256,
+                                 num_gnn_layers=1, num_sinkhorn_iterations=5,
+                                 image_shape=(96, 96)))
+    K = params.max_candidates
+    tcm_variables = tcm_net.init(
+        jax.random.PRNGKey(1), jnp.zeros((1, 96, 96, 3)),
+        jnp.zeros((1, 96, 96, 3)), jnp.zeros((1, K, 2), jnp.int32),
+        jnp.zeros((1, K, 2), jnp.int32), jnp.zeros((1, K, 2)),
+        jnp.zeros((1, K, 2)), jnp.zeros((1, K)), jnp.zeros((1, K)),
+        train=False)
+
+    tracker = KeepTrackTracker(params, net, variables, tcm_net=tcm_net,
+                               tcm_variables=tcm_variables,
+                               device_association=True)
+    centers = [(60 + 3 * t, 60 + 2 * t) for t in range(4)]
+    tracker.initialize(make_frame(*centers[0]),
+                       {"init_bbox": [centers[0][1] - 10, centers[0][0] - 10,
+                                      20, 20]})
+    for t in range(1, 3):
+        out = tracker.track(make_frame(*centers[t]))
+        assert all(np.isfinite(out["target_bbox"])), out
+        assert np.isfinite(out["object_presence_score"])
+
+    # the fused step is scan-able: one dispatch over the remaining frames
+    frames = jnp.stack([jnp.asarray(make_frame(*centers[3]))])
+
+    def scan_fn(variables, st, fs):
+        prev = tracker.variables
+        tracker.variables = variables
+        try:
+            return jax.lax.scan(tracker._track_impl, st, fs)
+        finally:
+            tracker.variables = prev
+
+    st, outs = jax.jit(scan_fn)(tracker.variables, tracker.state, frames)
+    assert np.all(np.isfinite(np.asarray(outs["target_bbox"])))
