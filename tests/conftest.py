@@ -12,5 +12,21 @@ os.environ.setdefault("JAX_ENABLE_X64", "0")
 os.environ["PYTRACKING_TPU_COMPILATION_CACHE"] = "0"
 
 import jax  # noqa: E402
+import pytest  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+
+
+@pytest.fixture(autouse=True)
+def _isolate_pytracking_env():
+    """Tests that point PYTRACKING_TPU_* env paths at tmp fixtures must not leak
+    them into later tests (e.g. a leftover ATTRIBUTE_SPECS_PATH shadows the
+    bundled attribute specs)."""
+    saved = {k: v for k, v in os.environ.items() if k.startswith("PYTRACKING_TPU_")}
+    yield
+    for k in [k for k in os.environ if k.startswith("PYTRACKING_TPU_")]:
+        if k not in saved:
+            del os.environ[k]
+    os.environ.update(saved)
+    import pytracking_tpu.evaluation.environment as envmod
+    envmod._env_settings = None
