@@ -115,6 +115,30 @@ def _save_tracker_output(seq: Sequence, tracker, output: dict):
                 imwrite_indexed(os.path.join(seg_dir, name + ".png"), seg)
 
 
+def _register_visdom_debug(vis, image, out):
+    """Feed the live-debug panes from a frame's tracker output (reference
+    registers these inside each tracker, e.g. dimp.py:120-128 score map +
+    tracker.py:214-222 'Tracking' overlay; here the harness feeds them from the
+    step's debug outputs so the jitted trackers stay host-callback-free)."""
+    try:
+        bbox = out.get("target_bbox")
+        panes = [image]
+        if bbox is not None and not isinstance(bbox, dict):
+            panes.append(np.asarray(bbox, np.float32))
+        seg = out.get("segmentation")
+        if seg is not None and not isinstance(seg, dict):
+            panes.append(np.asarray(seg, np.float32))
+        vis.register(panes, "Tracking", 1, "Tracking")
+        if "score_map" in out:
+            vis.register(np.asarray(out["score_map"]), "heatmap", 2, "Score Map")
+        info = {k: out[k] for k in ("flag", "max_score", "object_presence_score")
+                if k in out}
+        if info:
+            vis.register(info, "info_dict", 1, "Status")
+    except Exception:
+        pass  # debug UI must never break the tracking run
+
+
 def run_sequence(seq: Sequence, tracker, debug: int = 0,
                  visdom_info=None, profile_dir: Optional[str] = None
                  ) -> Optional[dict]:
@@ -151,6 +175,9 @@ def run_sequence(seq: Sequence, tracker, debug: int = 0,
         except TypeError:
             t = tracker.create_tracker()
         t.visdom = getattr(tracker, "visdom", None)
+        if t.visdom is not None and hasattr(t, "enable_debug_outputs"):
+            # before the first jit trace: the flag adds score-map outputs to the step
+            t.enable_debug_outputs()
         info = seq.init_info()
         prev_output = t.initialize(image, info) or {}
         init_time = time.time() - start
@@ -173,6 +200,8 @@ def run_sequence(seq: Sequence, tracker, debug: int = 0,
             info["previous_output"] = prev_output
             out = t.track(image, info)
             prev_output = out
+            if t.visdom is not None:
+                _register_visdom_debug(t.visdom, image, out)
             output["time"].append(time.time() - start)
             output["target_bbox"].append(out["target_bbox"])
             if "object_presence_score" in out:

@@ -399,9 +399,12 @@ class ATOMTracker(BaseTracker):
         return out
 
     def fetch_output(self, out) -> dict:
-        return {"target_bbox": np.asarray(out["target_bbox"]).tolist(),
-                "max_score": float(out["max_score"]),
-                "flag": FLAG_NAMES[int(out["flag"])]}
+        result = {"target_bbox": np.asarray(out["target_bbox"]).tolist(),
+                  "max_score": float(out["max_score"]),
+                  "flag": FLAG_NAMES[int(out["flag"])]}
+        if "score_map" in out:
+            result["score_map"] = np.asarray(out["score_map"])
+        return result
 
     def track(self, image, info: Optional[dict] = None) -> dict:
         return self.fetch_output(self.track_async(image, info))
@@ -491,7 +494,10 @@ class ATOMTracker(BaseTracker):
         state = state.replace(flag=flag.astype(jnp.int32), max_score=max_score)
         bbox = jnp.concatenate([state.pos[::-1] - (state.target_sz[::-1] - 1) / 2,
                                 state.target_sz[::-1]])
-        return state, {"target_bbox": bbox, "max_score": max_score, "flag": flag}
+        out = {"target_bbox": bbox, "max_score": max_score, "flag": flag}
+        if self._debug_outputs:
+            out["score_map"] = scores[scale_ind]
+        return state, out
 
     # ---------------------------------------------------------------- localization
 

@@ -24,6 +24,16 @@ class BaseTracker:
     def __init__(self, params):
         self.params = params
         self.visdom = None
+        self._debug_outputs = False
+
+    def enable_debug_outputs(self):
+        """Include per-frame debug arrays (score maps, sample geometry) in the
+        track() output dict — for the visdom live-debug UI (reference trackers
+        register score maps via self.visdom, e.g. dimp.py:120-128) and for
+        trace-diff tests. Must be called BEFORE the first initialize()/track():
+        the flag is read at jit trace time, so flipping it after the step has
+        been compiled has no effect."""
+        self._debug_outputs = True
 
     def _jit_with_variables(self, impl, donate_state: bool = False):
         """jit an impl method with the network variables passed as the FIRST argument

@@ -324,9 +324,12 @@ class DiMPTracker(BaseTracker):
         flag = FLAG_NAMES[int(out["flag"])]
         if self.params.output_not_found_box and flag == "not_found":
             bbox = [-1, -1, -1, -1]
-        return {"target_bbox": bbox,
-                "max_score": float(out["max_score"]),
-                "flag": flag}
+        result = {"target_bbox": bbox,
+                  "max_score": float(out["max_score"]),
+                  "flag": flag}
+        if "score_map" in out:
+            result["score_map"] = np.asarray(out["score_map"])
+        return result
 
     def track(self, image, info: Optional[dict] = None) -> dict:
         return self.fetch_output(self.track_async(image, info))
@@ -404,6 +407,10 @@ class DiMPTracker(BaseTracker):
         bbox = jnp.concatenate([state.pos[::-1] - (state.target_sz[::-1] - 1) / 2,
                                 state.target_sz[::-1]])
         out = {"target_bbox": bbox, "max_score": max_score, "flag": flag}
+        if self._debug_outputs:
+            out["score_map"] = scores_raw
+            out["sample_pos"] = sample_pos
+            out["sample_scale"] = sample_scale
         return state, out
 
     # ------------------------------------------------------------------ localization

@@ -383,8 +383,11 @@ class ECOTracker(BaseTracker):
             self._jit_cache[key] = fn
         self.state, out = fn(self.variables, self.state, im, self._static["yfs"],
                              self._static["reg_windows"])
-        return {"target_bbox": np.asarray(out["target_bbox"]).tolist(),
-                "max_score": float(out["max_score"])}
+        result = {"target_bbox": np.asarray(out["target_bbox"]).tolist(),
+                  "max_score": float(out["max_score"])}
+        if "score_map" in out:
+            result["score_map"] = np.asarray(out["score_map"])
+        return result
 
     def _track_impl(self, state: ECOState, im, yfs, reg_windows, *, sample_sz,
                     feat_szs, filt_szs):
@@ -481,7 +484,11 @@ class ECOTracker(BaseTracker):
 
         bbox = jnp.concatenate([state.pos[::-1] - (state.target_sz[::-1] - 1) / 2,
                                 state.target_sz[::-1]])
-        return state, {"target_bbox": bbox, "max_score": max_sc[scale_ind]}
+        out = {"target_bbox": bbox, "max_score": max_sc[scale_ind]}
+        if self._debug_outputs:
+            # wrap-around grid -> centered view for human inspection
+            out["score_map"] = jnp.fft.fftshift(scores[scale_ind])
+        return state, out
 
 
 def get_tracker_class():

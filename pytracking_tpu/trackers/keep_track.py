@@ -250,10 +250,13 @@ class KeepTrackTracker(DiMPTracker):
             bbox = np.asarray(host["target_bbox"]).tolist()
             if p.output_not_found_box and flag_name == "not_found":
                 bbox = [-1, -1, -1, -1]
-            return {"target_bbox": bbox,
-                    "max_score": float(host["max_score"]),
-                    "object_presence_score": float(host["object_presence_score"]),
-                    "flag": flag_name}
+            result = {"target_bbox": bbox,
+                      "max_score": float(host["max_score"]),
+                      "object_presence_score": float(host["object_presence_score"]),
+                      "flag": flag_name}
+            if "score_map" in host:
+                result["score_map"] = np.asarray(host["score_map"])
+            return result
 
         state, part1 = self._jit_part1(self.variables, self.state, im)
         self._frame_num_host += 1
@@ -408,7 +411,7 @@ class KeepTrackTracker(DiMPTracker):
                               prev_cand_frame=state.frame_num)
 
         default_disp = trans_default  # image-coord translation vector
-        return state, {
+        p1 = {
             "cand_scores": cand_scores, "cand_coords": cand_coords,
             "cand_valid": cand_valid, "matches": matches,
             "match_scores": match_scores, "max_score": max_score,
@@ -418,6 +421,9 @@ class KeepTrackTracker(DiMPTracker):
             "backbone_l3": backbone_feat["layer3"], "test_x": test_x,
             "sample_pos": sample_pos, "sample_scale": sample_scale,
         }
+        if self._debug_outputs:
+            p1["scores"] = scores
+        return state, p1
 
     # ------------------------------------------------ device-side association
 
@@ -561,6 +567,8 @@ class KeepTrackTracker(DiMPTracker):
             jnp.maximum(p1["max_score"],
                         jnp.sqrt(jnp.maximum(p1["max_score"], 0.0))),
             p1["max_score"])
+        if self._debug_outputs:
+            out["score_map"] = p1["scores"]
         return state, out
 
     # ---------------------------------------------------------------- device step 2
@@ -629,7 +637,8 @@ class KeepTrackTracker(DiMPTracker):
         state = state.replace(flag=flag.astype(jnp.int32), max_score=cand_score)
         bbox = jnp.concatenate([state.pos[::-1] - (state.target_sz[::-1] - 1) / 2,
                                 state.target_sz[::-1]])
-        return state, {"target_bbox": bbox, "max_score": cand_score, "flag": flag}
+        out = {"target_bbox": bbox, "max_score": cand_score, "flag": flag}
+        return state, out
 
     # ------------------------------------------------- search-area rescaling
 

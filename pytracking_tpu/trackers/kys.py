@@ -186,7 +186,10 @@ class KYSTracker(DiMPTracker):
 
         bbox = jnp.concatenate([state.pos[::-1] - (state.target_sz[::-1] - 1) / 2,
                                 state.target_sz[::-1]])
-        return state, {"target_bbox": bbox, "max_score": max_score, "flag": flag}
+        out = {"target_bbox": bbox, "max_score": max_score, "flag": flag}
+        if self._debug_outputs:
+            out["score_map"] = fused
+        return state, out
 
     def _localize_fused(self, state, scores, sample_pos, sample_scale, output_sz,
                         img_sample_sz):

@@ -162,9 +162,14 @@ class TaMOsTracker(BaseTracker):
                 out_boxes[oid] = boxes[slot].tolist()
             out_scores[oid] = float(scores[slot])
         if not self.mot_dataset:
-            return {"target_bbox": out_boxes["1"],
-                    "object_presence_score": out_scores["1"]}
-        return {"target_bbox": out_boxes, "object_presence_score": out_scores}
+            result = {"target_bbox": out_boxes["1"],
+                      "object_presence_score": out_scores["1"]}
+        else:
+            result = {"target_bbox": out_boxes,
+                      "object_presence_score": out_scores}
+        if "score_map" in out:
+            result["score_map"] = np.asarray(out["score_map"][0])  # object slot 0
+        return result
 
     # ---------------------------------------------------------------- impl
 
@@ -299,7 +304,10 @@ class TaMOsTracker(BaseTracker):
 
         boxes = jnp.concatenate([state.pos[:, ::-1] - (state.target_sz[:, ::-1] - 1)
                                  / 2, state.target_sz[:, ::-1]], axis=-1)
-        return state, {"target_bbox": boxes, "max_score": max_scores, "flag": flags}
+        out = {"target_bbox": boxes, "max_score": max_scores, "flag": flags}
+        if self._debug_outputs:
+            out["score_map"] = scores_k
+        return state, out
 
     def _head_feat_mem(self, feats):
         """(B, h, w, Cb) -> (B, 1, h, w, C) head features."""

@@ -242,10 +242,13 @@ class ToMPTracker(BaseTracker):
         if getattr(self.params, "output_not_found_box", False) and \
                 flag == "not_found":
             bbox = [-1, -1, -1, -1]   # reference tomp.py output_not_found_box
-        return {"target_bbox": bbox,
-                "object_presence_score": float(out["max_score"]),
-                "max_score": float(out["max_score"]),
-                "flag": flag}
+        result = {"target_bbox": bbox,
+                  "object_presence_score": float(out["max_score"]),
+                  "max_score": float(out["max_score"]),
+                  "flag": flag}
+        if "score_map" in out:
+            result["score_map"] = np.asarray(out["score_map"])
+        return result
 
     def track(self, image, info: Optional[dict] = None) -> dict:
         return self.fetch_output(self.track_async(image, info))
@@ -348,7 +351,10 @@ class ToMPTracker(BaseTracker):
         state = state.replace(flag=flag.astype(jnp.int32), max_score=max_score)
         out_bbox = jnp.concatenate([state.pos[::-1] - (state.target_sz[::-1] - 1) / 2,
                                     state.target_sz[::-1]])
-        return state, {"target_bbox": out_bbox, "max_score": max_score, "flag": flag}
+        out = {"target_bbox": out_bbox, "max_score": max_score, "flag": flag}
+        if self._debug_outputs:
+            out["score_map"] = scores
+        return state, out
 
     # ---------------------------------------------------------------- localization
 

@@ -1,0 +1,218 @@
+"""TRACKER-level parity vs the reference torch implementation.
+
+test_reference_parity.py proves net-forward parity on identical inputs. This file
+goes one level up: it runs the reference's ACTUAL tracker loop
+(`/root/reference/pytracking/tracker/dimp/dimp.py`, driven exactly as the
+evaluation harness drives it) against our jitted tracker with PORTED weights on
+the same synthetic sequence, and asserts that the whole online pipeline matches:
+
+  * initialize(): position/scale geometry identical; the LEARNED target filter
+    (augmented init samples -> patch crops -> Gaussian labels -> 10 steepest-
+    descent iterations) matches to float-accumulation tolerance;
+  * track(): the frame-1 classification score map (crop at the tracked position
+    -> backbone -> classifier) matches in absolute terms; flags agree.
+
+Randomness is removed on both sides (augmentations restricted to the
+deterministic fliplr/relativeshift set, random_shift_factor=0,
+num_init_random_boxes=0) so the comparison is exact, not statistical.
+
+What is NOT asserted: multi-frame bbox traces. With random-init weights the
+score maps are near-flat noise (max ~0.03 vs ~1.0 with trained weights), so the
+argmax cell — and hence the trace — flips on float-level differences; that is
+argmax sensitivity, not implementation divergence. (Verified: with the default
+target_not_found_threshold both implementations flag every frame not_found and
+produce IDENTICAL traces.)
+
+Known deliberate geometry difference (documented in PARITY.md): our
+ops/patch.py uses a continuous symmetric crop convention; the reference
+quantizes the crop to integer pixels (floor(pos), round(sz), .int() truncation
+— its returned patch_coord disagrees with its actual crop by up to 1px). This
+bounds the patch-content difference at the half-pixel level; the score-map
+tolerance below absorbs it.
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+
+if not os.path.isdir("/root/reference"):
+    pytest.skip("reference checkout not available", allow_module_level=True)
+
+import tests.refshim  # noqa: F401
+
+import jax.numpy as jnp
+
+from pytracking_tpu.utils import port_weights as pw
+from tests.test_reference_parity import randomize_bn_stats
+
+# deterministic augmentation subset (no cv2 rotate/blur, no random dropout)
+_REF_AUG = {"fliplr": True,
+            "relativeshift": [(0.6, 0.6), (-0.6, 0.6), (0.6, -0.6), (-0.6, -0.6)]}
+_MY_AUG = (("fliplr", True),
+           ("relativeshift", ((0.6, 0.6), (-0.6, 0.6), (0.6, -0.6), (-0.6, -0.6))))
+
+
+def _synthetic_sequence(n=3):
+    rng = np.random.default_rng(7)
+    bg = rng.integers(30, 90, (240, 320, 3)).astype(np.uint8)
+    tex = rng.integers(140, 255, (40, 40, 3)).astype(np.uint8)
+
+    def frame(cx, cy):
+        im = bg.copy()
+        im[cy - 20:cy + 20, cx - 20:cx + 20] = tex
+        return im
+
+    frames = [frame(100 + 4 * t, 120 + 2 * t) for t in range(n)]
+    return frames, [80.0, 100.0, 40.0, 40.0]
+
+
+def _build_reference_tracker(ref_net, not_found_threshold):
+    """The reference DiMP driven exactly as pytracking/evaluation does, with the
+    net supplied in-memory instead of from a checkpoint."""
+    from pytracking.features.net_wrappers import NetWithBackbone
+    from pytracking.tracker.dimp import DiMP
+    from pytracking.utils.params import TrackerParams
+
+    wrapper = NetWithBackbone(net_path="unused", use_gpu=False)
+    wrapper.net = ref_net
+    wrapper.initialize = lambda *a, **k: None
+
+    p = TrackerParams()
+    # reference pytracking/parameter/dimp/dimp50.py, determinism-restricted
+    for k, v in dict(
+            debug=0, visualization=False, use_gpu=False, device="cpu",
+            image_sample_size=288, search_area_scale=5, sample_memory_size=50,
+            learning_rate=0.01, init_samples_minimum_weight=0.25,
+            train_skipping=20, update_classifier=True, net_opt_iter=10,
+            net_opt_update_iter=2, net_opt_hn_iter=1, window_output=False,
+            use_augmentation=True, augmentation=_REF_AUG,
+            augmentation_expansion_factor=2, random_shift_factor=0,
+            advanced_localization=True,
+            target_not_found_threshold=not_found_threshold,
+            distractor_threshold=0.8, hard_negative_threshold=0.5,
+            target_neighborhood_scale=2.2, dispalcement_scale=0.8,
+            hard_negative_learning_rate=0.02, update_scale_when_uncertain=True,
+            iounet_augmentation=False, iounet_use_log_scale=True, iounet_k=3,
+            num_init_random_boxes=0, box_jitter_pos=0.1, box_jitter_sz=0.5,
+            maximal_aspect_ratio=6, box_refinement_iter=5,
+            box_refinement_step_length=1, box_refinement_step_decay=1).items():
+        setattr(p, k, v)
+    p.net = wrapper
+    tracker = DiMP(p)
+    tracker.visdom = None
+    return tracker
+
+
+def _build_my_tracker(variables, not_found_threshold):
+    from pytracking_tpu.models.tracking.dimpnet import dimpnet50
+    from pytracking_tpu.trackers.dimp import DiMPParams, DiMPTracker
+
+    params = DiMPParams(
+        image_sample_size=288, search_area_scale=5.0, kernel_size=4,
+        sample_memory_size=50, learning_rate=0.01,
+        init_samples_minimum_weight=0.25, train_skipping=20,
+        update_classifier=True, net_opt_iter=10, net_opt_update_iter=2,
+        net_opt_hn_iter=1, window_output=False, use_augmentation=True,
+        augmentation=_MY_AUG, random_shift_factor=0.0,
+        advanced_localization=True,
+        target_not_found_threshold=not_found_threshold,
+        distractor_threshold=0.8, hard_negative_threshold=0.5,
+        target_neighborhood_scale=2.2, displacement_scale=0.8,
+        hard_negative_learning_rate=0.02, update_scale_when_uncertain=True,
+        iounet_augmentation=False, iounet_k=3, num_init_random_boxes=0,
+        box_jitter_pos=0.1, box_jitter_sz=0.5, maximal_aspect_ratio=6.0,
+        box_refinement_iter=5, box_refinement_step_length=1.0,
+        box_refinement_step_decay=1.0)
+    tracker = DiMPTracker(params, dimpnet50(optim_iter=3), variables)
+    tracker.enable_debug_outputs()
+    return tracker
+
+
+@pytest.fixture(scope="module")
+def dimp_pair():
+    """(ref_net, ported variables) with the dimp50 recipe architecture."""
+    import ltr.models.tracking.dimpnet as ref_dimpnet
+
+    torch.manual_seed(0)
+    ref_net = ref_dimpnet.dimpnet50(
+        backbone_pretrained=False, filter_size=4, optim_iter=3,
+        clf_feat_norm=True, clf_feat_blocks=0, final_conv=True,
+        out_feature_dim=512, optim_init_step=0.9, optim_init_reg=0.1,
+        init_gauss_sigma=0.9, num_dist_bins=100, bin_displacement=0.1,
+        mask_init_factor=3.0, target_mask_act="sigmoid", score_act="relu")
+    ref_net.eval()
+    randomize_bn_stats(ref_net)
+    sd = {k: v.numpy() for k, v in ref_net.state_dict().items()}
+    variables = pw.port_dimpnet(sd, layers=(3, 4, 6, 3), block="bottleneck")
+    return ref_net, variables
+
+
+def test_dimp50_tracker_init_and_first_step_parity(dimp_pair):
+    ref_net, variables = dimp_pair
+    frames, init_bbox = _synthetic_sequence()
+
+    ref = _build_reference_tracker(ref_net, not_found_threshold=-100.0)
+    ref.initialize(frames[0], {"init_bbox": list(init_bbox)})
+
+    mine = _build_my_tracker(variables, not_found_threshold=-100.0)
+    mine.initialize(frames[0], {"init_bbox": list(init_bbox)})
+
+    # ---- geometry: identical position/scale bookkeeping
+    np.testing.assert_allclose(np.asarray(mine.state.pos),
+                               ref.pos.numpy(), atol=1e-5)
+    assert float(mine.state.target_scale) == pytest.approx(
+        float(ref.target_scale), abs=1e-6)
+
+    # ---- the LEARNED init filter: augmentation -> crops -> labels -> 10 GN
+    # steepest-descent iterations, end to end through the real tracker path.
+    ref_filter = ref.target_filter.detach().numpy()[0]          # (C, 4, 4)
+    my_filter = np.asarray(mine.state.target_filter).squeeze()  # (4, 4, C)
+    assert my_filter.shape[-1] == ref_filter.shape[0]
+    diff = np.abs(my_filter.transpose(2, 0, 1) - ref_filter)
+    assert np.linalg.norm(ref_filter) > 0.5          # filter actually learned
+    assert diff.max() < 3e-3, f"init filter diverged: max abs {diff.max()}"
+
+    # ---- frame-1: crop at the tracked position -> backbone -> classify
+    from pytracking.features.preprocessing import numpy_to_torch
+    imt = numpy_to_torch(frames[1].astype(np.float32))
+    with torch.no_grad():
+        backbone_feat, sample_coords, _ = ref.extract_backbone_features(
+            imt, ref.get_centered_sample_pos(),
+            ref.target_scale * ref.params.scale_factors, ref.img_sample_sz)
+        test_x = ref.get_classification_features(backbone_feat)
+        ref_scores = ref.classify_target(test_x).numpy().squeeze()
+
+    out = mine.track(frames[1])
+    my_scores = np.asarray(out["score_map"]).squeeze()
+    assert my_scores.shape == ref_scores.shape
+    d = np.abs(my_scores - ref_scores)
+    # absolute tolerance: ~1e-3 feature accumulation x 512-channel filter dots,
+    # plus the documented half-pixel crop-quantization difference
+    assert d.max() < 1e-2, f"frame-1 score map diverged: max abs {d.max()}"
+    assert abs(float(out["max_score"]) - float(ref_scores.max())) < 1e-2
+
+
+def test_dimp50_tracker_trace_identical_under_default_thresholds(dimp_pair):
+    """With the stock dimp50 thresholds both implementations must take the SAME
+    control-flow decisions frame by frame (here: random-init scores are below
+    target_not_found_threshold, so every frame flags not_found and the output
+    box stays put — asserting trace equality pins that the flag logic and
+    position bookkeeping agree, not just the numerics)."""
+    ref_net, variables = dimp_pair
+    frames, init_bbox = _synthetic_sequence(n=4)
+
+    ref = _build_reference_tracker(ref_net, not_found_threshold=0.25)
+    ref.initialize(frames[0], {"init_bbox": list(init_bbox)})
+    mine = _build_my_tracker(variables, not_found_threshold=0.25)
+    mine.initialize(frames[0], {"init_bbox": list(init_bbox)})
+
+    for f in frames[1:]:
+        ref_out = ref.track(f)
+        my_out = mine.track(f)
+        np.testing.assert_allclose(np.asarray(my_out["target_bbox"], np.float64),
+                                   np.asarray(ref_out["target_bbox"], np.float64),
+                                   atol=1e-3)
+        assert my_out["flag"] == "not_found"
