@@ -106,6 +106,13 @@ class DiMPParams:
     box_refinement_step_decay: float = 1.0
     box_refinement_space: str = "default"   # 'default' | 'relative' (PrDiMP)
     use_iounet_pos_for_learning: bool = True
+    # serving: skip the in-step classifier optimizer (memory still updates every
+    # frame) so a vmapped batched step never pays it — the harness runs
+    # `update_classifier_deferred` on the train_skipping cadence instead, where
+    # a SCALAR predicate keeps the unexecuted branch free (parallel/serving.py).
+    # Under vmap a batched lax.switch executes ALL branches every frame, which
+    # is what makes the naive batched step ~4x slower than this split.
+    defer_classifier_update: bool = False
 
     def aug_dict(self) -> dict:
         return dict(self.augmentation) if self.use_augmentation else {}
@@ -148,6 +155,8 @@ class DiMPTracker(BaseTracker):
     init/track functions. One instance tracks one target in one sequence."""
 
     multiobj_mode = "parallel"
+    # the step honors params.defer_classifier_update (parallel/serving.py)
+    supports_deferred_classifier_update = True
 
     def __init__(self, params: DiMPParams, net, variables):
         super().__init__(params)
@@ -400,7 +409,8 @@ class DiMPTracker(BaseTracker):
                            p.learning_rate)
             state = self._update_memory_masked(state, test_x[0], target_box, lr,
                                                update_flag)
-            state = self._update_classifier(state, hard_negative, update_flag)
+            if not p.defer_classifier_update:
+                state = self._update_classifier(state, hard_negative, update_flag)
 
         state = state.replace(flag=flag.astype(jnp.int32), max_score=max_score)
 
@@ -649,6 +659,24 @@ class DiMPTracker(BaseTracker):
         new_filter = jax.lax.switch(branch_idx, [no_update, hn_update, periodic_update],
                                     state.target_filter)
         return state.replace(target_filter=new_filter)
+
+    def _update_classifier_deferred(self, state: DiMPState):
+        """Deferred classifier update for the batched serving path
+        (params.defer_classifier_update): one optimizer pass over the memory with
+        the periodic iteration count, masked by the sequence's last flag. Called
+        by the harness on the train_skipping cadence — the same frames the fused
+        step's periodic branch would fire on — so with no hard negatives it
+        reproduces the reference cadence exactly; hard-negative updates happen at
+        the next tick instead of immediately (documented serving-path delta)."""
+        p = self.params
+        feat = state.mem_samples[:, None]
+        bb = state.mem_boxes[:, None]
+        sw = state.mem_weights[:, None]
+        new_filter = self._run_optimizer(state.target_filter, feat, bb, sw,
+                                         p.net_opt_update_iter)[0]
+        ok = (state.flag != FLAG_NOT_FOUND) & (state.flag != FLAG_UNCERTAIN)
+        return state.replace(target_filter=jnp.where(ok, new_filter,
+                                                     state.target_filter))
 
 
 def get_tracker_class():

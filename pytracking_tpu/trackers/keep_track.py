@@ -173,6 +173,9 @@ class KeepTrackTracker(DiMPTracker):
     """params: KeepTrackParams; net: base DiMPnet; tcm_net/tcm_variables: the candidate
     matching network."""
 
+    # the certainty-weighted update path does not honor defer_classifier_update
+    supports_deferred_classifier_update = False
+
     def __init__(self, params: KeepTrackParams, net, variables, tcm_net=None,
                  tcm_variables=None, device_association: bool = False):
         """device_association=True fuses part1 + candidate association + part2 into

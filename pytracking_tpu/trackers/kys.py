@@ -169,7 +169,8 @@ class KYSTracker(DiMPTracker):
                            p.learning_rate)
             state = self._update_memory_masked(state, test_x[0], target_box, lr,
                                                update_flag)
-            state = self._update_classifier(state, hard_negative, update_flag)
+            if not p.defer_classifier_update:
+                state = self._update_classifier(state, hard_negative, update_flag)
 
         # ---- update the propagation state (PrevStateHandler.set_data, kys.py:198-205)
         sigma = jnp.sqrt(jnp.prod(feat_sz / img_sample_sz * state.base_target_sz)) * \
