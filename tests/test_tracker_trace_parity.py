@@ -195,6 +195,89 @@ def test_dimp50_tracker_init_and_first_step_parity(dimp_pair):
     assert abs(float(out["max_score"]) - float(ref_scores.max())) < 1e-2
 
 
+def test_tomp50_tracker_init_and_first_step_parity():
+    """ToMP: no init augmentation, no randomness — the whole init + first step
+    is deterministic on both sides. Asserts init geometry, frame-1 score-map
+    agreement (the transformer amplifies the documented half-pixel crop
+    difference more than DiMP's linear classifier, so the bound is correlation
+    + argmax instead of a tight absolute diff), and the output bbox."""
+    import ltr.models.tracking.tompnet as ref_tompnet
+
+    from pytracking.features.net_wrappers import NetWithBackbone
+    from pytracking.features.preprocessing import numpy_to_torch
+    from pytracking.tracker.tomp import ToMP
+    from pytracking.utils.params import TrackerParams
+
+    from pytracking_tpu.models.tracking.tompnet import tompnet50
+    from pytracking_tpu.trackers.tomp import ToMPParams, ToMPTracker
+
+    torch.manual_seed(0)
+    ref_net = ref_tompnet.tompnet50(backbone_pretrained=False, final_conv=True,
+                                    head_feat_norm=True, out_feature_dim=512,
+                                    feature_sz=18, frozen_backbone_layers=[])
+    ref_net.eval()
+    randomize_bn_stats(ref_net)
+    sd = {k: v.numpy() for k, v in ref_net.state_dict().items()}
+    variables = pw.port_tompnet(sd)
+
+    frames, init_bbox = _synthetic_sequence()
+
+    wrapper = NetWithBackbone(net_path="unused", use_gpu=False)
+    wrapper.net = ref_net
+    wrapper.initialize = lambda *a, **k: None
+    p = TrackerParams()
+    # reference pytracking/parameter/tomp/tomp50.py
+    for k, v in dict(
+            debug=0, visualization=False, use_gpu=False, device="cpu",
+            train_feature_size=18, feature_stride=16, image_sample_size=288,
+            search_area_scale=5, border_mode="inside_major",
+            patch_max_scale_change=1.5, sample_memory_size=2,
+            learning_rate=0.01, init_samples_minimum_weight=0.25,
+            train_skipping=20, update_classifier=True, window_output=False,
+            use_augmentation=False, augmentation={},
+            augmentation_expansion_factor=2, random_shift_factor=1 / 3,
+            advanced_localization=True, target_not_found_threshold=0.25,
+            distractor_threshold=0.8, hard_negative_threshold=0.5,
+            target_neighborhood_scale=2.2, dispalcement_scale=0.8,
+            hard_negative_learning_rate=0.02, update_scale_when_uncertain=True,
+            conf_ths=0.9, search_area_rescaling_at_occlusion=True).items():
+        setattr(p, k, v)
+    p.net = wrapper
+    ref = ToMP(p)
+    ref.visdom = None
+    ref.initialize(frames[0], {"init_bbox": list(init_bbox)})
+
+    mine = ToMPTracker(ToMPParams(), tompnet50(), variables)
+    mine.enable_debug_outputs()
+    mine.initialize(frames[0], {"init_bbox": list(init_bbox)})
+
+    np.testing.assert_allclose(np.asarray(mine.state.pos), ref.pos.numpy(),
+                               atol=1e-5)
+    assert float(mine.state.target_scale) == pytest.approx(
+        float(ref.target_scale), abs=1e-6)
+
+    # reference frame-1 score map (classify path internals, pre-track)
+    imt = numpy_to_torch(frames[1].astype(np.float32))
+    with torch.no_grad():
+        backbone_feat, _, _ = ref.extract_backbone_features(
+            imt, ref.get_centered_sample_pos(),
+            ref.target_scale * ref.params.scale_factors, ref.img_sample_sz)
+        test_x = ref.get_backbone_head_feat(backbone_feat)
+        ref_scores = ref.classify_target(test_x)[0].numpy().squeeze()
+    ref_out = ref.track(frames[1])
+
+    my_out = mine.track(frames[1])
+    my_scores = np.asarray(my_out["score_map"]).squeeze()
+    assert my_scores.shape == ref_scores.shape
+    corr = np.corrcoef(my_scores.ravel(), ref_scores.ravel())[0, 1]
+    assert corr > 0.99, f"score-map correlation {corr}"
+    assert (np.unravel_index(my_scores.argmax(), my_scores.shape) ==
+            np.unravel_index(ref_scores.argmax(), ref_scores.shape))
+    np.testing.assert_allclose(np.asarray(my_out["target_bbox"], np.float64),
+                               np.asarray(ref_out["target_bbox"], np.float64),
+                               atol=0.5)
+
+
 def test_dimp50_tracker_trace_identical_under_default_thresholds(dimp_pair):
     """With the stock dimp50 thresholds both implementations must take the SAME
     control-flow decisions frame by frame (here: random-init scores are below
