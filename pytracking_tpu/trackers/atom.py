@@ -60,6 +60,12 @@ class ATOMParams:
     projection_reg: float = 1e-4
     use_projection_matrix: bool = True
     update_projection_matrix: bool = True
+    proj_init_method: str = "randn"       # 'randn' | 'pca' (reference atom.py:534)
+    filter_init_method: str = "randn"     # 'randn' | 'zeros' (reference atom.py:140)
+    # per-sample power normalization of the deep feature (reference
+    # featurebase.py:64-67 with the parameter file's normalize_power=2);
+    # None disables
+    feature_normalize_power: Optional[int] = 2
     projection_activation: str = "none"
     response_activation: Tuple[str, float] = ("mlu", 0.05)
     # optimization
@@ -175,6 +181,16 @@ class ATOMTracker(BaseTracker):
 
     # ---------------------------------------------------------------- net helpers
 
+    def _normalize_feat(self, feat):
+        """Per-sample power normalization (reference featurebase.py:64-67):
+        feat / (mean(|feat|^p over CHW) + 1e-10)^(1/p)."""
+        p = self.params.feature_normalize_power
+        if p is None:
+            return feat
+        denom = (jnp.mean(jnp.abs(feat) ** p, axis=(1, 2, 3), keepdims=True)
+                 + 1e-10) ** (1.0 / p)
+        return feat / denom
+
     def _backbone(self, im_patches):
         return self.net.apply(self.variables, im_patches,
                               method=lambda m, x: m.extract_backbone(x))
@@ -281,7 +297,7 @@ class ATOMTracker(BaseTracker):
         im_patches = aug.apply_all(base_patch, transforms, (sample_sz, sample_sz))
 
         backbone_feat = self._backbone(im_patches)
-        x = backbone_feat["layer3"]                              # (T, Hf, Wf, 256)
+        x = self._normalize_feat(backbone_feat["layer3"])        # (T, Hf, Wf, 256)
 
         num_drop = 0
         if "dropout" in augs:
@@ -290,13 +306,26 @@ class ATOMTracker(BaseTracker):
             x = jnp.concatenate([x, aug.dropout2d(x, dkey, num_drop, prob)])
         T = x.shape[0]
 
-        # ---- projection init 'randn' (reference atom.py:543-546)
+        # ---- projection init (reference atom.py:534-546): 'pca' = top
+        # compressed_dim eigenvectors of the channel covariance over the init
+        # samples (deterministic); 'randn' as in the default parameter file
         key, pkey, fkey = jax.random.split(key, 3)
         cin = x.shape[-1]
-        proj = jax.random.normal(pkey, (1, 1, cin, p.compressed_dim)) / math.sqrt(cin)
+        if p.proj_init_method == "pca":
+            x_mat = x.reshape(-1, cin).T                      # (C, T*H*W)
+            x_mat = x_mat - x_mat.mean(axis=1, keepdims=True)
+            cov = x_mat @ x_mat.T
+            _, _, vt = jnp.linalg.svd(cov)
+            proj = vt[:p.compressed_dim].T.reshape(1, 1, cin, p.compressed_dim)
+        else:
+            proj = jax.random.normal(pkey, (1, 1, cin, p.compressed_dim)) / \
+                math.sqrt(cin)
         fh, fw = p.kernel_size
-        filt = jax.random.normal(fkey, (fh, fw, p.compressed_dim, 1))
-        filt = filt / filt.size
+        if p.filter_init_method == "zeros":
+            filt = jnp.zeros((fh, fw, p.compressed_dim, 1))
+        else:
+            filt = jax.random.normal(fkey, (fh, fw, p.compressed_dim, 1))
+            filt = filt / filt.size
 
         # ---- label functions (reference atom.py:549-570)
         sigma_val = jnp.sqrt(jnp.prod(feat_sz / support * base_target_sz)) * \
@@ -362,12 +391,19 @@ class ATOMTracker(BaseTracker):
             flag=jnp.asarray(0, jnp.int32), max_score=jnp.asarray(1.0))
 
     def _label_batch(self, centers, feat_sz: int, sigma):
-        """Wrapped Gaussian labels at index-0 origin (reference dcf.label_function_spatial
-        via mod arithmetic — ATOM scores live on a wrap-around grid)."""
-        k = jnp.arange(feat_sz, dtype=jnp.float32)
-        # wrap-around distance to the center
-        dy = (k[None, :] - centers[:, 0:1] + feat_sz / 2) % feat_sz - feat_sz / 2
-        dx = (k[None, :] - centers[:, 1:2] + feat_sz / 2) % feat_sz - feat_sz / 2
+        """CENTERED Gaussian labels (reference dcf.label_function_spatial /
+        gauss_spatial: grid coordinate k = i - (sz-1)/2, origin in the middle,
+        NO wrap). The wrap-around convention enters later, in localization: the
+        π phase shift for even kernels (reference atom.py:309) moves the
+        center-origin response to the corner-origin grid that `sample_fs`
+        produces, where the mod-arithmetic displacement decode applies. Labels
+        must therefore be centered — corner-origin labels here would double the
+        half-grid shift and force the 4x4 filter to fire half a grid off-target
+        (it can't, so the learned response degrades: found via trace-parity
+        against the reference with ported weights)."""
+        k = jnp.arange(feat_sz, dtype=jnp.float32) - (feat_sz - 1) / 2
+        dy = k[None, :] - centers[:, 0:1]
+        dx = k[None, :] - centers[:, 1:2]
         gy = jnp.exp(-0.5 / sigma[0] ** 2 * dy ** 2)
         gx = jnp.exp(-0.5 / sigma[1] ** 2 * dx ** 2)
         return gy[:, :, None] * gx[:, None, :]
@@ -427,7 +463,7 @@ class ATOMTracker(BaseTracker):
         )(scale_factors)
 
         backbone_feat = self._backbone(patches)
-        feat = backbone_feat["layer3"]                           # (S, Hf, Wf, C)
+        feat = self._normalize_feat(backbone_feat["layer3"])     # (S, Hf, Wf, C)
         comp = self._project(feat, state.proj)                   # (S, Hf, Wf, cdim)
         scores_raw = _conv_same(comp, state.filt)[..., 0]        # (S, Hf, Wf)
 

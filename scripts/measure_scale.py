@@ -19,6 +19,42 @@ import numpy as np
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 
+def measure_batched_eval_tomp(batch_sizes=(8, 16), n_frames=20):
+    """ToMP-50 batched serving: the transformer step has no per-frame optimizer
+    switch, so plain vmap keeps full amortization — no deferral needed."""
+    import jax
+    import jax.numpy as jnp
+
+    from pytracking_tpu.parallel.serving import BatchedTrackerServer
+    from pytracking_tpu.trackers.tomp import ToMPTracker
+
+    spec = importlib.import_module(
+        "pytracking_tpu.parameter.tomp.tomp50").parameters()
+    rng = np.random.default_rng(0)
+
+    def frame():
+        return rng.integers(0, 255, (480, 640, 3), dtype=np.uint8)
+
+    for B in batch_sizes:
+        server = BatchedTrackerServer(ToMPTracker, spec.params, spec.net,
+                                      spec.variables)
+        server.initialize([frame() for _ in range(B)],
+                          [[200.0 + b, 150.0, 120.0, 160.0] for b in range(B)])
+        frames = jnp.stack([jnp.stack([jnp.asarray(frame()) for _ in range(B)])
+                            for _ in range(n_frames)])
+        best = None
+        for it in range(3):
+            t0 = time.perf_counter()
+            boxes = server.scan_track(frames)
+            jax.block_until_ready(boxes)
+            dt = time.perf_counter() - t0
+            if it > 0:
+                best = dt if best is None else min(best, dt)
+        ms = 1000 * best / n_frames
+        print(f"tomp50 batched eval B={B:3d}: {ms:7.2f} ms/step  "
+              f"aggregate {B * n_frames / best:8.1f} FPS")
+
+
 def measure_batched_eval(batch_sizes=(1, 4, 8, 16, 32), n_frames=20,
                          deferred=True):
     """Serving throughput: BatchedTrackerServer.scan_track (deferred classifier
@@ -140,5 +176,7 @@ if __name__ == "__main__":
     targets = sys.argv[1:] or ["eval", "train"]
     if "eval" in targets:
         measure_batched_eval()
+    if "eval_tomp" in targets:
+        measure_batched_eval_tomp()
     if "train" in targets:
         measure_train_step()

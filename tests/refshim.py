@@ -330,7 +330,54 @@ def _patch_autograd_grad_for_tensorlist():
     torch.autograd.grad = grad
 
 
+def _install_legacy_fft():
+    """torch<1.8-style real-tensor FFT API (removed upstream), used by the
+    reference's libs/fourier.py and libs/dcf.py: complex values are (..., 2)
+    real tensors. Implemented on top of the modern torch.fft namespace."""
+    import torch
+
+    if hasattr(torch, "rfft"):
+        return
+
+    def rfft(input, signal_ndim, normalized=False, onesided=True):
+        dims = tuple(range(-signal_ndim, 0))
+        norm = "ortho" if normalized else "backward"
+        if onesided:
+            out = torch.fft.rfftn(input, dim=dims, norm=norm)
+        else:
+            out = torch.fft.fftn(input, dim=dims, norm=norm)
+        return torch.view_as_real(out)
+
+    def irfft(input, signal_ndim, normalized=False, onesided=True,
+              signal_sizes=None):
+        dims = tuple(range(-signal_ndim, 0))
+        norm = "ortho" if normalized else "backward"
+        z = torch.view_as_complex(input.contiguous())
+        if onesided:
+            return torch.fft.irfftn(z, s=signal_sizes, dim=dims, norm=norm)
+        return torch.fft.ifftn(z, dim=dims, norm=norm).real
+
+    def fft(input, signal_ndim, normalized=False):
+        dims = tuple(range(-signal_ndim - 1, -1))
+        norm = "ortho" if normalized else "backward"
+        z = torch.view_as_complex(input.contiguous())
+        return torch.view_as_real(torch.fft.fftn(z, dim=dims, norm=norm))
+
+    def ifft(input, signal_ndim, normalized=False):
+        dims = tuple(range(-signal_ndim - 1, -1))
+        norm = "ortho" if normalized else "backward"
+        z = torch.view_as_complex(input.contiguous())
+        return torch.view_as_real(torch.fft.ifftn(z, dim=dims, norm=norm))
+
+    torch.rfft, torch.irfft, torch.fft_legacy = rfft, irfft, fft
+    # torch.fft is a module now; the reference calls torch.fft(x, nd) as a
+    # FUNCTION only from libs/complex.py paths ATOM/ECO don't hit — install
+    # the function forms under distinct names and leave the module intact.
+    torch.ifft_legacy = ifft
+
+
 def install():
+    _install_legacy_fft()
     for name in ("jpeg4py", "cv2", "visdom", "visdom.server", "pandas", "lvis",
                  "pycocotools", "pycocotools.coco", "pycocotools.mask"):
         try:

