@@ -32,12 +32,19 @@ def cifft2(a_fs: jnp.ndarray, signal_sizes: Tuple[int, int] | None = None) -> jn
 
 
 def pad_fs(a_fs: jnp.ndarray, grid_sz: Tuple[int, int]) -> jnp.ndarray:
-    """Zero-pad a centered spectrum symmetrically to `grid_sz` (Fourier-domain upsample)."""
+    """Zero-pad a centered spectrum to `grid_sz` (Fourier-domain upsample).
+
+    The padding must keep the DC bin aligned: fftshift places DC at index n//2
+    for any n, so after padding, DC (input index h//2) must land at gh//2 —
+    i.e. top pad = gh//2 - h//2. (The previous symmetric formula put DC one
+    bin off when padding odd -> even, a linear phase error that translated the
+    upsampled map by a size-dependent offset — it broke ECO's localization;
+    found via shift-covariance probes against the reference.)"""
     h, w = a_fs.shape[-2], a_fs.shape[-1]
     gh, gw = int(grid_sz[0]), int(grid_sz[1])
-    pt = (gh - h) // 2 + ((gh - h) % 2 if (h % 2 == 0) else 0)
+    pt = gh // 2 - h // 2
     pb = gh - h - pt
-    plft = (gw - w) // 2 + ((gw - w) % 2 if (w % 2 == 0) else 0)
+    plft = gw // 2 - w // 2
     prt = gw - w - plft
     pad = [(0, 0)] * (a_fs.ndim - 2) + [(pt, pb), (plft, prt)]
     return jnp.pad(a_fs, pad)

@@ -55,6 +55,47 @@ def tree_zeros_like(a: Pytree) -> Pytree:
     return jax.tree_util.tree_map(jnp.zeros_like, a)
 
 
+# ------------------------------------------------------------------ complex real-view
+# Least squares over COMPLEX variables (ECO's Fourier-domain filters) must use
+# the Wirtinger/real-pair formulation: jax.jvp/jax.vjp on C->C residuals follow
+# JAX's holomorphic cotangent convention, under which the naive vjp(jvp(v))
+# matvec is J^T J v instead of the required J^H J v — a non-SPD operator that
+# makes CG freeze at iteration 0 (verified: gauss_newton_cg returned x0
+# unchanged on a complex linear least-squares with a nonzero closed-form
+# solution). The robust fix: split every complex leaf into a trailing
+# [real, imag] pair, run the solver on the purely-real view (where the normal
+# equations are provably correct and equal the complex J^H J), and map back.
+
+def _complex_mask(tree) -> Pytree:
+    return jax.tree_util.tree_map(jnp.iscomplexobj, tree)
+
+
+def _any_complex(tree) -> bool:
+    return any(jax.tree_util.tree_leaves(_complex_mask(tree)))
+
+
+def _c2r(tree, mask) -> Pytree:
+    return jax.tree_util.tree_map(
+        lambda x, c: jnp.stack([jnp.real(x), jnp.imag(x)], axis=-1) if c else x,
+        tree, mask)
+
+
+def _r2c(tree, mask) -> Pytree:
+    return jax.tree_util.tree_map(
+        lambda x, c: jax.lax.complex(x[..., 0], x[..., 1]) if c else x,
+        tree, mask)
+
+
+def _realview_residual(residual_fn, x_mask):
+    """Wrap a residual on (possibly) complex pytrees as real-view -> real-view."""
+
+    def wrapped(xr):
+        r = residual_fn(_r2c(xr, x_mask))
+        return _c2r(r, _complex_mask(r))
+
+    return wrapped
+
+
 # ------------------------------------------------------------------- conjugate gradient
 
 class CGResult(NamedTuple):
@@ -135,7 +176,18 @@ def gauss_newton_cg(residual_fn: Callable[[Pytree], Pytree],
 
     Each outer iteration linearizes r(x) ≈ r + J dx and CG-solves the normal equations
     (JᵀJ) dx = Jᵀ r, then x ← x − dx. Jacobian products via jvp/vjp (no materialized J).
+
+    Complex variables are solved in the real view (see `_realview_residual`).
     """
+    if _any_complex(x0):
+        mask = _complex_mask(x0)
+        wrapped = _realview_residual(residual_fn, mask)
+        if precond is not None:
+            orig_precond = precond
+            precond = lambda vr: _c2r(orig_precond(_r2c(vr, mask)), mask)
+        res = gauss_newton_cg(wrapped, _c2r(x0, mask), num_gn_iter=num_gn_iter,
+                              num_cg_iter=num_cg_iter, precond=precond)
+        return SolveResult(_r2c(res.x, mask), res.losses)
 
     def outer(x, _):
         r, vjp_fn = jax.vjp(residual_fn, x)
@@ -160,6 +212,12 @@ def gradient_descent_l2(residual_fn: Callable[[Pytree], Pytree],
                         momentum: float = 0.0) -> SolveResult:
     """Momentum gradient descent on L(x) = ||r(x)||² (reference GradientDescentL2
     optimization.py:438-520). Gradient = 2 Jᵀ r computed via vjp."""
+    if _any_complex(x0):
+        mask = _complex_mask(x0)
+        res = gradient_descent_l2(_realview_residual(residual_fn, mask),
+                                  _c2r(x0, mask), num_iter=num_iter,
+                                  step_length=step_length, momentum=momentum)
+        return SolveResult(_r2c(res.x, mask), res.losses)
 
     def loss_fn(x):
         r = residual_fn(x)
@@ -183,6 +241,12 @@ def newton_cg(loss_fn: Callable[[Pytree], jnp.ndarray],
               hessian_reg: float = 0.0) -> SolveResult:
     """Newton's method with CG inner solves on a general scalar loss (reference NewtonCG
     optimization.py:522-640). Hessian-vector products via jvp-of-grad."""
+    if _any_complex(x0):
+        mask = _complex_mask(x0)
+        res = newton_cg(lambda xr: loss_fn(_r2c(xr, mask)), _c2r(x0, mask),
+                        num_newton_iter=num_newton_iter, num_cg_iter=num_cg_iter,
+                        hessian_reg=hessian_reg)
+        return SolveResult(_r2c(res.x, mask), res.losses)
 
     grad_fn = jax.grad(loss_fn)
 
@@ -209,6 +273,12 @@ def gradient_descent(loss_fn: Callable[[Pytree], jnp.ndarray],
                      momentum: float = 0.0) -> SolveResult:
     """Momentum gradient descent on a general scalar loss (reference GradientDescent
     optimization.py:642-714)."""
+    if _any_complex(x0):
+        mask = _complex_mask(x0)
+        res = gradient_descent(lambda xr: loss_fn(_r2c(xr, mask)), _c2r(x0, mask),
+                               num_iter=num_iter, step_length=step_length,
+                               momentum=momentum)
+        return SolveResult(_r2c(res.x, mask), res.losses)
 
     def step(carry, _):
         x, vel = carry

@@ -158,7 +158,12 @@ class ECOTracker(BaseTracker):
         base_target_sz = np.asarray(target_sz) / target_scale
         sz = round(math.sqrt(float(np.prod(base_target_sz * p.search_area_scale))))
         stride = max(b[0] for b in p.blocks)
-        sz += int(2 * stride - sz % (2 * stride))
+        # reference eco.py:60: sz ends up ≡ stride (mod 2·stride), so the
+        # deepest feature grid is ODD — the DCF spectra are then symmetric and
+        # filt_sz == feat_sz. (An even grid here shifts the whole score map by
+        # one cell through the even→odd filter padding: found via trace-parity
+        # against the reference.)
+        sz += int(stride - sz % (2 * stride))
         feat_szs = [sz // b[0] for b in p.blocks]
         filt_szs = [f + (f + 1) % 2 for f in feat_szs]
         return int(sz), float(target_scale), feat_szs, filt_szs
@@ -174,11 +179,18 @@ class ECOTracker(BaseTracker):
 
     def _fourier_sample(self, feat, feat_sz: int, filt_sz: int):
         """Window, FFT, pad to the odd filter grid, bicubic interpolation kernels
-        (reference preprocess_sample eco.py:299-303)."""
+        (reference preprocess_sample eco.py:299-303).
+
+        The channel axis MUST be moved out of the trailing two dims BEFORE
+        cfft2 — cfft2 transforms the last two axes, and on an NHWC array those
+        are (width, channels): the height axis never gets transformed, which
+        silently kills y-axis localization while x half-works (and the learned
+        filter absorbs the invertible channel mixing, so self-consistency
+        checks still pass). Found via axis-isolation probes against the
+        reference."""
         win = dcf.hann2d((feat_sz, feat_sz))
-        xf = fourier.cfft2(feat * win[None, :, :, None] if feat.ndim == 4
-                           else feat * win[:, :, None])
-        xf = jnp.moveaxis(xf, -1, -3)          # (..., C, h, w) for pad_fs
+        x = feat * (win[None, :, :, None] if feat.ndim == 4 else win[:, :, None])
+        xf = fourier.cfft2(jnp.moveaxis(x, -1, -3))   # (..., C, h, w)
         xf = fourier.pad_fs(xf, (filt_sz, filt_sz))
         fy, fx = dcf.get_interp_fourier((filt_sz, filt_sz), "bicubic")
         xf = xf * fy * fx

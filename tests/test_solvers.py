@@ -76,3 +76,43 @@ def test_gradient_descent_scalar_loss():
     loss = lambda x: jnp.sum((x - 3.0) ** 2)
     res = solvers.gradient_descent(loss, jnp.zeros(3), num_iter=100, step_length=0.1)
     np.testing.assert_allclose(np.asarray(res.x), 3.0 * np.ones(3), atol=1e-3)
+
+
+def test_gauss_newton_cg_complex_least_squares():
+    """Complex variables (ECO's Fourier filters) must solve in the real view:
+    the naive jvp/vjp matvec under JAX's holomorphic cotangent convention is
+    J^T J (not J^H J) — non-SPD, CG froze at iteration 0 and returned x0
+    unchanged (the pre-fix behavior, which left ECO tracking on an unoptimized
+    filter)."""
+    rng = np.random.default_rng(0)
+    A = jnp.asarray(rng.standard_normal((8, 4)) + 1j * rng.standard_normal((8, 4)),
+                    jnp.complex64)
+    b = jnp.asarray(rng.standard_normal(8) + 1j * rng.standard_normal(8),
+                    jnp.complex64)
+    res = solvers.gauss_newton_cg(lambda v: {"r": A @ v["x"] - b},
+                                  {"x": jnp.zeros(4, jnp.complex64)},
+                                  num_gn_iter=3, num_cg_iter=20)
+    x_closed = jnp.linalg.lstsq(A, b)[0]
+    np.testing.assert_allclose(np.asarray(res.x["x"]), np.asarray(x_closed),
+                               atol=1e-4)
+
+
+def test_gauss_newton_cg_mixed_real_complex_pytree():
+    """ECO's joint problem mixes a real projection matrix with complex filters."""
+    rng = np.random.default_rng(1)
+    A = jnp.asarray(rng.standard_normal((6, 3)) + 1j * rng.standard_normal((6, 3)),
+                    jnp.complex64)
+    b = jnp.asarray(rng.standard_normal(6) + 1j * rng.standard_normal(6),
+                    jnp.complex64)
+    t = jnp.asarray(rng.standard_normal(3), jnp.float32)
+
+    def residual(v):
+        return {"r": A @ v["x"] - b, "s": v["w"] - t}
+
+    res = solvers.gauss_newton_cg(residual,
+                                  {"x": jnp.zeros(3, jnp.complex64),
+                                   "w": jnp.zeros(3, jnp.float32)},
+                                  num_gn_iter=3, num_cg_iter=20)
+    np.testing.assert_allclose(np.asarray(res.x["x"]),
+                               np.asarray(jnp.linalg.lstsq(A, b)[0]), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(res.x["w"]), np.asarray(t), atol=1e-4)

@@ -375,6 +375,119 @@ def test_atom_tracker_multi_frame_trace_parity():
         assert iou(my_b, ref_b) > 0.75, f"trace diverged: {my_b} vs {ref_b}"
 
 
+def test_eco_tracker_multi_frame_trace_parity():
+    """ECO end to end vs the reference loop, with the reference's two-block
+    ResNet18-VGG-m1 feature stack (vggconv1 + layer3, pooled/power-normalized)
+    and deterministic augmentations. ECO's init (PCA projection + joint Fourier
+    GN-CG) is deterministic on both sides.
+
+    This comparison found two real bugs: (1) our search-size rounding made the
+    deep feature grid EVEN where the reference forces it ODD (symmetric DCF
+    spectra), shifting the score map one cell through the even->odd filter
+    padding; (2) the pytree GN-CG solver was broken for COMPLEX variables (see
+    test_solvers.py::test_gauss_newton_cg_complex_least_squares) — ECO had been
+    running on an unoptimized filter."""
+    import ltr.models.backbone.resnet18_vggm as ref_vggm_mod
+
+    import pytracking.features.deep as ref_deep
+    from pytracking.features.extractor import MultiResolutionExtractor
+    from pytracking.tracker.eco import ECO
+    from pytracking.utils.params import FeatureParams, TrackerParams
+
+    from pytracking_tpu.models.backbones.vggm_resnet import resnet18_vggmconv1
+    from pytracking_tpu.parameter.eco.default import _ECOBackbone
+    from pytracking_tpu.trackers.eco import ECOParams, ECOTracker
+
+    torch.manual_seed(0)
+    ref_vggm = ref_vggm_mod.resnet18_vggmconv1(["vggconv1", "layer3"], path=None)
+    ref_vggm.eval()
+    randomize_bn_stats(ref_vggm)
+    sd = {k: v.numpy() for k, v in ref_vggm.state_dict().items()}
+
+    frames, init_bbox = _synthetic_sequence(n=4)
+    aug_ref = {"fliplr": True, "shift": [(6, 6), (-6, 6), (6, -6), (-6, -6)]}
+    aug_my = (("fliplr", True), ("shift", ((6, 6), (-6, 6), (6, -6), (-6, -6))))
+
+    shallow, deepp = TrackerParams(), TrackerParams()
+    shallow.learning_rate = 0.025; deepp.learning_rate = 0.0075
+    shallow.output_sigma_factor = 1 / 16; deepp.output_sigma_factor = 1 / 4
+    shallow.translation_weight = 0.4; deepp.translation_weight = 0.6
+    shallow.compressed_dim = 16; deepp.compressed_dim = 64
+    shallow.use_augmentation = True; deepp.use_augmentation = True
+    for sp, (rmin, redge, thr) in ((shallow, (1e-4, 10e-3, 0.05)),
+                                   (deepp, (10e-4, 50e-3, 0.1))):
+        sp.use_reg_window = True
+        sp.reg_window_min = rmin
+        sp.reg_window_edge = redge
+        sp.reg_window_power = 2
+        sp.reg_sparsity_threshold = thr
+
+    p = TrackerParams()
+    for k, v in dict(
+            debug=0, visualization=False, use_gpu=False, device="cpu",
+            max_image_sample_size=250 ** 2, min_image_sample_size=200 ** 2,
+            search_area_scale=4.5, CG_iter=5, init_CG_iter=100, init_GN_iter=10,
+            post_init_CG_iter=0, fletcher_reeves=False, standard_alpha=True,
+            CG_forgetting_rate=75, precond_data_param=0.3,
+            precond_reg_param=0.15, precond_proj_param=35,
+            sample_memory_size=50, train_skipping=10,
+            scale_factors=1.02 ** torch.arange(-2, 3).float(),
+            score_upsample_factor=1, score_fusion_strategy="weightedsum",
+            augmentation=aug_ref, augmentation_expansion_factor=2,
+            random_shift_factor=0, update_projection_matrix=True,
+            projection_reg=5e-8, interpolation_method="bicubic",
+            interpolation_bicubic_a=-0.75, interpolation_centering=True,
+            interpolation_windowing=False, window_output=False).items():
+        setattr(p, k, v)
+
+    ref_deep.resnet18_vggmconv1 = lambda layers, path=None: ref_vggm
+    feat = ref_deep.ResNet18m1(output_layers=["vggconv1", "layer3"],
+                               use_gpu=False,
+                               fparams=FeatureParams(
+                                   feature_params=[shallow, deepp]),
+                               pool_stride=[2, 1], normalize_power=2)
+
+    def fake_init(f=feat):
+        f.layer_stride = {"vggconv1": 2, "conv1": 2, "layer1": 4, "layer2": 8,
+                          "layer3": 16, "layer4": 32, "fc": None}
+        f.layer_dim = {"vggconv1": 96, "conv1": 64, "layer1": 64,
+                       "layer2": 128, "layer3": 256, "layer4": 512, "fc": None}
+        f.mean = torch.Tensor([0.485, 0.456, 0.406]).view(1, -1, 1, 1)
+        f.std = torch.Tensor([0.229, 0.224, 0.225]).view(1, -1, 1, 1)
+        f.net = ref_vggm
+        f.net.eval()
+
+    feat.initialize = fake_init
+    p.features = MultiResolutionExtractor([feat])
+
+    ref = ECO(p)
+    ref.visdom = None
+    ref.initialize(frames[0], {"init_bbox": list(init_bbox)})
+
+    vg = pw.port_resnet18_vggm(sd)
+    net = _ECOBackbone(resnet18_vggmconv1(output_layers=("vggconv1", "layer3")))
+    variables = {"params": {"feature_extractor": vg["params"]}}
+    if "batch_stats" in vg:
+        variables["batch_stats"] = {"feature_extractor": vg["batch_stats"]}
+    mine = ECOTracker(ECOParams(augmentation=aug_my), net, variables)
+    mine.initialize(frames[0], {"init_bbox": list(init_bbox)})
+
+    np.testing.assert_allclose(np.asarray(mine.state.pos), ref.pos.numpy(),
+                               atol=1e-5)
+
+    def iou(a, b):
+        x1, y1 = max(a[0], b[0]), max(a[1], b[1])
+        x2 = min(a[0] + a[2], b[0] + b[2])
+        y2 = min(a[1] + a[3], b[1] + b[3])
+        inter = max(0.0, x2 - x1) * max(0.0, y2 - y1)
+        return inter / (a[2] * a[3] + b[2] * b[3] - inter)
+
+    for f in frames[1:]:
+        ref_b = np.asarray(ref.track(f)["target_bbox"], np.float64)
+        my_b = np.asarray(mine.track(f)["target_bbox"], np.float64)
+        assert iou(my_b, ref_b) > 0.6, f"trace diverged: {my_b} vs {ref_b}"
+
+
 def test_dimp50_tracker_trace_identical_under_default_thresholds(dimp_pair):
     """With the stock dimp50 thresholds both implementations must take the SAME
     control-flow decisions frame by frame (here: random-init scores are below
