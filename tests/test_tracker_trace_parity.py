@@ -375,6 +375,91 @@ def test_atom_tracker_multi_frame_trace_parity():
         assert iou(my_b, ref_b) > 0.75, f"trace diverged: {my_b} vs {ref_b}"
 
 
+def test_kys_tracker_trace_identical_under_default_thresholds():
+    """KYS vs the reference loop with ported weights: with the stock fused
+    not-found threshold both implementations must take the same decisions frame
+    by frame (random-weight fused responses are relu'd to zero on both sides ->
+    not_found -> box stays put; the motion branch itself is verified at the net
+    level in test_reference_parity.py::test_kysnet_full_parity)."""
+    import ltr.models.tracking.kysnet as ref_kysnet
+
+    from pytracking.features.net_wrappers import NetWithBackbone
+    from pytracking.tracker.kys import KYS
+    from pytracking.utils.params import TrackerParams
+
+    from pytracking_tpu.models.tracking.kysnet import kysnet_res50
+    from pytracking_tpu.trackers.kys import KYSParams, KYSTracker
+
+    torch.manual_seed(0)
+    ref_net = ref_kysnet.kysnet_res50(
+        backbone_pretrained=False, optim_iter=3, cv_kernel_size=3,
+        cv_max_displacement=9, cv_stride=1, init_gauss_sigma=0.9,
+        train_feature_extractor=False, train_iounet=False, detach_length=0,
+        state_dim=8, representation_predictor_dims=(16,),
+        conf_measure="entropy", dimp_thresh=0.05)
+    ref_net.eval()
+    randomize_bn_stats(ref_net)
+    sd = {k: v.numpy() for k, v in ref_net.state_dict().items()}
+    variables = pw.port_kysnet(sd)
+
+    frames, init_bbox = _synthetic_sequence(n=4)
+
+    wrapper = NetWithBackbone(net_path="unused", use_gpu=False)
+    wrapper.net = ref_net
+    wrapper.initialize = lambda *a, **k: None
+    p = TrackerParams()
+    for k, v in dict(
+            debug=0, visualization=False, use_gpu=False, device="cpu",
+            image_sample_size=288, search_area_scale=5, sample_memory_size=50,
+            learning_rate=0.01, init_samples_minimum_weight=0.25,
+            train_skipping=20, output_sigma_factor=1 / 4,
+            update_classifier=True, net_opt_iter=10, net_opt_update_iter=2,
+            use_augmentation=True, augmentation=_REF_AUG,
+            augmentation_expansion_factor=2, random_shift_factor=0,
+            window_output=True, use_clipped_window=True,
+            effective_search_area=10.0, apply_window_to_dimp_score=True,
+            dimp_threshold=0.05, target_not_found_threshold_fused=0.05,
+            reset_state_during_occlusion=False,
+            prev_feat_remove_subpixel_shift=True, move_feat_to_center=True,
+            update_scale_when_uncertain=True, use_iou_net=True,
+            iounet_augmentation=False, iounet_use_log_scale=True, iounet_k=3,
+            num_init_random_boxes=0, box_jitter_pos=0.1, box_jitter_sz=0.5,
+            maximal_aspect_ratio=6, box_refinement_iter=5,
+            box_refinement_step_length=1, box_refinement_step_decay=1,
+            remove_offset_in_fused_score=True,
+            score_downsample_factor=1).items():
+        setattr(p, k, v)
+    p.net = wrapper
+    ref = KYS(p)
+    ref.visdom = None
+    ref.initialize(frames[0], {"init_bbox": list(init_bbox)})
+
+    params = KYSParams(
+        image_sample_size=288, search_area_scale=5.0, kernel_size=4,
+        sample_memory_size=50, learning_rate=0.01,
+        init_samples_minimum_weight=0.25, train_skipping=20,
+        update_classifier=True, net_opt_iter=10, net_opt_update_iter=2,
+        use_augmentation=True, augmentation=_MY_AUG, random_shift_factor=0.0,
+        update_scale_when_uncertain=True, iounet_augmentation=False,
+        iounet_k=3, num_init_random_boxes=0, box_jitter_pos=0.1,
+        box_jitter_sz=0.5, maximal_aspect_ratio=6.0, box_refinement_iter=5,
+        box_refinement_step_length=1.0, box_refinement_step_decay=1.0)
+    mine = KYSTracker(params, kysnet_res50(
+        optim_iter=3, init_gauss_sigma=0.9, state_dim=8,
+        representation_predictor_dims=(16,), conf_measure="entropy",
+        dimp_thresh=0.05), variables)
+    mine.initialize(frames[0], {"init_bbox": list(init_bbox)})
+
+    np.testing.assert_allclose(np.asarray(mine.state.pos), ref.pos.numpy(),
+                               atol=1e-5)
+    for f in frames[1:]:
+        ref_b = np.asarray(ref.track(f)["target_bbox"], np.float64)
+        my_out = mine.track(f)
+        np.testing.assert_allclose(np.asarray(my_out["target_bbox"], np.float64),
+                                   ref_b, atol=1e-3)
+        assert my_out["flag"] == "not_found"
+
+
 def test_eco_tracker_multi_frame_trace_parity():
     """ECO end to end vs the reference loop, with the reference's two-block
     ResNet18-VGG-m1 feature stack (vggconv1 + layer3, pooled/power-normalized)
