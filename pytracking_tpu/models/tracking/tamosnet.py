@@ -73,6 +73,26 @@ class TaMOsNet(nn.Module):
         return self.filter_predictor.predict_filter(
             train_feat, test_feat, train_label, train_frame_mask=train_frame_mask)
 
+    def predict_filters_parallel(self, train_feat, test_feat, train_label,
+                                 train_ltrb, train_frame_mask, gth_frame_mask):
+        """Parallel cls/bbreg filters (reference heads.py:75-81 ->
+        filter_predictor.py:235): cls from all valid memory frames, bbreg from
+        the ground-truth (init) frame only."""
+        return self.filter_predictor.predict_cls_bbreg_filters_parallel(
+            train_feat, test_feat, train_label, train_ltrb,
+            train_frame_mask, gth_frame_mask)
+
+    def classify_trafo(self, test_feat_enc, filters, out_hw):
+        """Inference-time classification on the TRANSFORMER stride-16 feature,
+        bicubically upsampled to the FPN high-res grid (reference
+        tamos.py:313-321, cls_feature_type default 'trafo'; jax's cubic kernel
+        uses a=-0.5 vs torch bicubic a=-0.75 — a sub-percent smoothing
+        difference on these low-frequency maps)."""
+        scores = self.classify(test_feat_enc, filters)     # (Nf, Ns, H, W, K)
+        Nf, Ns, H, W, K = scores.shape
+        return jax.image.resize(scores, (Nf, Ns, out_hw[0], out_hw[1], K),
+                                "cubic")
+
     def run_fpn(self, test_feat_enc, backbone_feat):
         """test_feat_enc (Nf, Ns, h, w, C) -> dict of (Nf, Ns, ...) pyramid feats."""
         Nf, Ns = test_feat_enc.shape[:2]

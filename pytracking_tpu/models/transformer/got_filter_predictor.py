@@ -90,6 +90,69 @@ class GOTFilterPredictor(nn.Module):
         filters = dec.reshape(Ns, K, 1, 1, C, 1)
         return filters, enc_opt
 
+    def predict_cls_bbreg_filters_parallel(self, train_feat, test_feat,
+                                           train_label, train_ltrb,
+                                           train_frame_mask, gth_frame_mask,
+                                           train: bool = False):
+        """Parallel cls/bbreg filter prediction (reference
+        filter_predictor.py:235-318 GOTFilterPredictor
+        ._predict_cls_bbreg_filters_parallel): the sequence batch is DUPLICATED
+        — column 0 sees every valid memory frame (classification filter),
+        column 1 additionally masks the non-ground-truth train tokens (box
+        regression filter is predicted from the annotated init frame only).
+
+        Fixed-shape/jit-stable version of the reference's dynamic fallback:
+        when only ground-truth frames are stored, both columns see identical
+        valid sets, so this equals the reference's shared `predict_filter`
+        fallback (reference :237-240).
+
+        train_feat (Nf, Ns, H, W, C); train_label (Nf, Ns, K, H, W);
+        train_ltrb (Nf, Ns, K, H, W, 4); train_frame_mask / gth_frame_mask
+        (Nf,) bool. Returns (cls_filters, bbreg_filters, cls_enc, bbreg_enc)
+        with filters (Ns, K, 1, 1, C, 1) and enc (Nf_te, Ns, h, w, C)."""
+        Nf, Ns, H, W, C = train_feat.shape
+        Nf_te, _, h, w, _ = test_feat.shape
+        K = self.num_tokens
+
+        def stack2(x, axis=1):
+            return jnp.concatenate([x, x], axis=axis)
+
+        train_tok = self._tokens(stack2(train_feat))             # (2Ns, Ltr, C)
+        test_tok = self._tokens(stack2(test_feat))
+        label_tok = stack2(train_label).transpose(1, 0, 3, 4, 2).reshape(
+            2 * Ns, Nf * H * W, K)
+        fg = self.query_embed_fg
+        train_tok = train_tok + jnp.einsum("blk,kc->blc", label_tok, fg,
+                                           preferred_element_type=jnp.float32)
+        if self.box_enc == "ltrb_token" and train_ltrb is not None:
+            ltrb_tok = stack2(train_ltrb).transpose(1, 0, 3, 4, 2, 5).reshape(
+                2 * Ns, Nf * H * W, K, 4)
+            enc = self.box_encoding(ltrb_tok, train=train)       # (2Ns, L, K, C)
+            train_tok = train_tok + jnp.einsum("blkc,kc->blc", enc, fg)
+
+        seq = jnp.concatenate([train_tok, test_tok], axis=1)
+        pos2 = jnp.concatenate([
+            stack2(self._pos(train_feat), axis=0),
+            stack2(self._pos(test_feat), axis=0)], axis=1)
+
+        valid = jnp.asarray(train_frame_mask, bool)
+        valid_gth = valid & jnp.asarray(gth_frame_mask, bool)
+        row_cls = jnp.concatenate([jnp.repeat(~valid, H * W),
+                                   jnp.zeros(Nf_te * h * w, bool)])
+        row_bb = jnp.concatenate([jnp.repeat(~valid_gth, H * W),
+                                  jnp.zeros(Nf_te * h * w, bool)])
+        key_padding = jnp.concatenate([
+            jnp.broadcast_to(row_cls[None], (Ns, row_cls.size)),
+            jnp.broadcast_to(row_bb[None], (Ns, row_bb.size))], axis=0)
+
+        dec, mem = self.transformer(seq, self.query_embed_fg, pos2,
+                                    key_padding_mask=key_padding, train=train)
+        enc_opt = mem[:, -Nf_te * h * w:].reshape(2 * Ns, Nf_te, h, w,
+                                                  C).transpose(1, 0, 2, 3, 4)
+        filters = dec.reshape(2 * Ns, K, 1, 1, C, 1)
+        return (filters[:Ns], filters[Ns:],
+                enc_opt[:, :Ns], enc_opt[:, Ns:])
+
     def __call__(self, train_feat, test_feat, train_label, train_ltrb=None,
                  train: bool = False):
         return self.predict_filter(train_feat, test_feat, train_label, train_ltrb,

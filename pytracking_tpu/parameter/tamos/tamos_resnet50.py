@@ -24,8 +24,10 @@ def parameters() -> TrackerSpec:
         Hs, Ws = params.image_sample_size
         h, w = params.train_feature_size
         K = params.num_tokens
+        # train_ltrb included so init creates the box_encoding params the
+        # tracker's parallel cls/bbreg predictor needs
         example = (jnp.zeros((1, 1, Hs, Ws, 3)), jnp.zeros((1, 1, Hs, Ws, 3)),
-                   jnp.zeros((1, 1, K, h, w)))
+                   jnp.zeros((1, 1, K, h, w)), jnp.zeros((1, 1, K, h, w, 4)))
         variables = load_or_init_variables(
             net, example,
             cache_path=os.path.join(env.network_path, "tamos_resnet50_init.msgpack"))

@@ -66,6 +66,7 @@ class TaMOsState(struct.PyTreeNode):
     sigma: jnp.ndarray               # (K, 2) label sigmas (feature cells)
     mem_samples: jnp.ndarray         # (M, h, w, Cb) head-layer backbone features
     mem_labels: jnp.ndarray          # (M, K, h, w)
+    mem_boxes: jnp.ndarray           # (M, K, 4) [x,y,w,h] in SAMPLE coords
     mem_weights: jnp.ndarray         # (M,)
     num_stored: jnp.ndarray
     prev_ind: jnp.ndarray
@@ -105,6 +106,43 @@ class TaMOsTracker(BaseTracker):
             self.variables, train_feat, test_feat, train_label,
             method=lambda m, a, b, c: m.predict_filters(a, b, c,
                                                         train_frame_mask=frame_mask))
+
+    def _predict_filters_parallel(self, train_feat, test_feat, train_label,
+                                  train_ltrb, frame_mask, gth_mask):
+        return self.net.apply(
+            self.variables, train_feat, test_feat, train_label, train_ltrb,
+            method=lambda m, a, b, c, d: m.predict_filters_parallel(
+                a, b, c, d, frame_mask, gth_mask))
+
+    def _classify_trafo(self, test_feat_enc, filters, out_hw):
+        return self.net.apply(
+            self.variables, test_feat_enc, filters,
+            method=lambda m, f, w: m.classify_trafo(f, w, out_hw))
+
+    def _encode_ltrb(self, boxes):
+        """(M, K, 4) [x,y,w,h] sample-coord boxes -> per-cell LTRB maps
+        (M, K, h, w, 4) normalized by the sample size; zeros for empty boxes
+        (reference tamos.py:114-154 encode_bbox)."""
+        p = self.params
+        Hs, Ws = p.image_sample_size
+        h, w = p.train_feature_size
+        stride = p.feature_stride
+        xs = jnp.arange(w, dtype=jnp.float32) * stride + stride // 2   # (w,)
+        ys = jnp.arange(h, dtype=jnp.float32) * stride + stride // 2   # (h,)
+        x1 = boxes[..., 0]
+        y1 = boxes[..., 1]
+        x2 = boxes[..., 0] + boxes[..., 2]
+        y2 = boxes[..., 1] + boxes[..., 3]
+        l = (xs[None, None, None, :] - x1[..., None, None]) / Ws       # (M,K,1,w)/b
+        t = (ys[None, None, :, None] - y1[..., None, None]) / Hs
+        r = (x2[..., None, None] - xs[None, None, None, :]) / Ws
+        b = (y2[..., None, None] - ys[None, None, :, None]) / Hs
+        ltrb = jnp.stack([jnp.broadcast_to(l, l.shape[:2] + (h, w)),
+                          jnp.broadcast_to(t, t.shape[:2] + (h, w)),
+                          jnp.broadcast_to(r, r.shape[:2] + (h, w)),
+                          jnp.broadcast_to(b, b.shape[:2] + (h, w))], axis=-1)
+        valid = (boxes[..., 2] > 0) & (boxes[..., 3] > 0)
+        return jnp.where(valid[..., None, None, None], ltrb, 0.0)
 
     def _fpn(self, te_enc, backbone_feat):
         return self.net.apply(self.variables, te_enc, backbone_feat,
@@ -173,6 +211,23 @@ class TaMOsTracker(BaseTracker):
 
     # ---------------------------------------------------------------- impl
 
+    def _whole_frame_sample(self, im, Hs: int, Ws: int):
+        """Resize the whole frame with ONE scale factor (aspect preserved) and
+        replicate-pad to (Hs, Ws) (reference tamos.py:431-452). Returns
+        (frame (Hs, Ws, 3), scale_factor). Shapes are static per sequence."""
+        H_im, W_im = int(im.shape[0]), int(im.shape[1])
+        if H_im / W_im <= Hs / Ws:
+            s = float(Ws) / W_im
+            th, tw = int(H_im * s), Ws
+        else:
+            s = float(Hs) / H_im
+            th, tw = Hs, int(W_im * s)
+        th, tw = min(th, Hs), min(tw, Ws)
+        scaled = jax.image.resize(im, (th, tw, 3), "bilinear")
+        frame = jnp.pad(scaled, ((0, Hs - th), (0, Ws - tw), (0, 0)),
+                        mode="edge")
+        return frame, s
+
     def _label_batch(self, centers, sigmas, feat_sz):
         """Per-object Gaussian labels (K, h, w); zero for invalid objects handled by
         caller."""
@@ -191,8 +246,12 @@ class TaMOsTracker(BaseTracker):
         K = p.num_tokens
         image_sz = jnp.array(im.shape[:2], jnp.float32)
 
-        # whole-frame sample (reference extract_backbone_features :431-460)
-        frame = jax.image.resize(im, (Hs, Ws, 3), "bilinear")
+        # whole-frame sample with PRESERVED aspect ratio: one isotropic scale
+        # factor + replicate padding (reference extract_backbone_features
+        # :431-452; an anisotropic resize distorts objects and breaks the
+        # box/label geometry). im.shape is static per sequence, so the scale
+        # and padded extents are trace-time constants.
+        frame, sfac = self._whole_frame_sample(im, Hs, Ws)
         backbone_feat = self._backbone(frame[None])
         x = self.net.apply(self.variables, backbone_feat,
                            method=lambda m, f: f[m.head_layer])  # (1, h, w, Cb)
@@ -202,12 +261,11 @@ class TaMOsTracker(BaseTracker):
         target_sz = jnp.stack([boxes[:, 3], boxes[:, 2]], axis=-1)
 
         # label sigma per object (reference init_target_labels :475-494)
-        scale = jnp.array([Hs, Ws]) / image_sz
-        sz_sample = target_sz * scale[None]
+        sz_sample = target_sz * sfac
         sigma = jnp.sqrt(jnp.prod(sz_sample / p.feature_stride, axis=-1,
                                   keepdims=True)) * p.output_sigma_factor * \
             jnp.ones((1, 2))
-        centers = (pos * scale[None]) / p.feature_stride - \
+        centers = (pos * sfac) / p.feature_stride - \
             jnp.array([(h - 1) / 2, (w - 1) / 2])
         labels = self._label_batch(centers, sigma, (h, w))
         labels = jnp.where(valid[:, None, None], labels, 0.0)
@@ -215,12 +273,16 @@ class TaMOsTracker(BaseTracker):
         M = p.sample_memory_size
         mem_samples = jnp.zeros((M,) + x.shape[1:]).at[0].set(x[0])
         mem_labels = jnp.zeros((M, K, h, w)).at[0].set(labels)
+        # boxes in sample coordinates (isotropic scale)
+        sample_boxes = boxes * sfac
+        sample_boxes = jnp.where(valid[:, None], sample_boxes, 0.0)
+        mem_boxes = jnp.zeros((M, K, 4)).at[0].set(sample_boxes)
         mem_weights = jnp.zeros((M,)).at[0].set(1.0)
 
         return TaMOsState(pos=pos, target_sz=target_sz, obj_valid=valid,
                           image_sz=image_sz, sigma=sigma,
                           mem_samples=mem_samples, mem_labels=mem_labels,
-                          mem_weights=mem_weights,
+                          mem_boxes=mem_boxes, mem_weights=mem_weights,
                           num_stored=jnp.asarray(1, jnp.int32),
                           prev_ind=jnp.asarray(-1, jnp.int32),
                           frame_num=jnp.asarray(1, jnp.int32),
@@ -236,7 +298,7 @@ class TaMOsTracker(BaseTracker):
         stride = p.feature_stride
         state = state.replace(frame_num=state.frame_num + 1)
 
-        frame = jax.image.resize(im, (Hs, Ws, 3), "bilinear")
+        frame, sfac = self._whole_frame_sample(im, Hs, Ws)
         backbone_feat = self._backbone(frame[None])
         test_x = self.net.apply(self.variables, backbone_feat,
                                 method=lambda m, f: f[m.head_layer])
@@ -247,11 +309,20 @@ class TaMOsTracker(BaseTracker):
         train_feat = self._head_feat_mem(state.mem_samples)
         test_feat = self._head_feat_mem(test_x)
 
-        filters, te_enc = self._predict_filters(train_feat, test_feat,
-                                                state.mem_labels[:, None], frame_mask)
-        pyr = self._fpn(te_enc, backbone_feat)
-        scores = self._classify(pyr["feat2"], filters)[0, 0]      # (h2, w2, K)
-        ltrb = self._bbreg(pyr["feat2"], filters)[0, 0]           # (h2, w2, K, 4)
+        # parallel cls/bbreg filter prediction with LTRB box-token encodings
+        # (reference tamos.py:290-307): cls sees every valid memory frame,
+        # bbreg only the ground-truth init frame (memory slot 0)
+        train_ltrb = self._encode_ltrb(state.mem_boxes)[:, None]  # (M,1,K,h,w,4)
+        gth_mask = jnp.arange(M) == 0
+        cls_w, bb_w, cls_enc, bb_enc = self._predict_filters_parallel(
+            train_feat, test_feat, state.mem_labels[:, None], train_ltrb,
+            frame_mask, gth_mask)
+        pyr = self._fpn(bb_enc, backbone_feat)
+        h2w2 = (pyr["feat2"].shape[2], pyr["feat2"].shape[3])
+        # classification on the transformer stride-16 feature, bicubically
+        # upsampled to the high-res grid (reference tamos.py:313-321 'trafo')
+        scores = self._classify_trafo(cls_enc, cls_w, h2w2)[0, 0]  # (h2, w2, K)
+        ltrb = self._bbreg(pyr["feat2"], bb_w)[0, 0]               # (h2, w2, K, 4)
         if p.normalize_scores:
             scores = jax.nn.sigmoid(scores)
 
@@ -265,10 +336,11 @@ class TaMOsTracker(BaseTracker):
             lv = ltrb_k[loc[0], loc[1]] * jnp.array([Ws, Hs, Ws, Hs])
             xc = loc[1].astype(jnp.float32) * stride2 + stride2 / 2
             yc = loc[0].astype(jnp.float32) * stride2 + stride2 / 2
-            x1 = (xc - lv[0]) / Ws * state.image_sz[1]
-            y1 = (yc - lv[1]) / Hs * state.image_sz[0]
-            x2 = (xc + lv[2]) / Ws * state.image_sz[1]
-            y2 = (yc + lv[3]) / Hs * state.image_sz[0]
+            # sample coords -> image coords via the isotropic scale factor
+            x1 = (xc - lv[0]) / sfac
+            y1 = (yc - lv[1]) / sfac
+            x2 = (xc + lv[2]) / sfac
+            y2 = (yc + lv[3]) / sfac
             x1 = jnp.clip(x1, 0.0, state.image_sz[1] - 10.0)
             y1 = jnp.clip(y1, 0.0, state.image_sz[0] - 10.0)
             x2 = jnp.clip(x2, x1 + 10.0, state.image_sz[1])
@@ -295,12 +367,17 @@ class TaMOsTracker(BaseTracker):
                                            (flags != FLAG_UNCERTAIN) &
                                            (max_scores > p.conf_ths))
         do_update = per_obj_ok.all() & p.update_classifier
-        scale = jnp.array([Hs, Ws]) / state.image_sz
-        centers = (state.pos * scale[None]) / stride - \
+        centers = (state.pos * sfac) / stride - \
             jnp.array([(h - 1) / 2, (w - 1) / 2])
         labels = self._label_batch(centers, state.sigma, (h, w))
         labels = jnp.where(state.obj_valid[:, None, None], labels, 0.0)
-        state = self._update_memory(state, test_x[0], labels, do_update)
+        cur_boxes = jnp.concatenate(
+            [state.pos[:, ::-1] - (state.target_sz[:, ::-1] - 1) / 2,
+             state.target_sz[:, ::-1]], axis=-1)
+        sample_boxes = cur_boxes * sfac
+        sample_boxes = jnp.where(state.obj_valid[:, None], sample_boxes, 0.0)
+        state = self._update_memory(state, test_x[0], labels, sample_boxes,
+                                    do_update)
 
         boxes = jnp.concatenate([state.pos[:, ::-1] - (state.target_sz[:, ::-1] - 1)
                                  / 2, state.target_sz[:, ::-1]], axis=-1)
@@ -339,7 +416,7 @@ class TaMOsTracker(BaseTracker):
         flag = jnp.where(max1 < p.target_not_found_threshold, FLAG_NOT_FOUND, flag)
         return flag, disp1, max1
 
-    def _update_memory(self, state: TaMOsState, sample, labels, do_update):
+    def _update_memory(self, state: TaMOsState, sample, labels, boxes, do_update):
         p = self.params
         M = p.sample_memory_size
         sw = state.mem_weights
@@ -370,6 +447,8 @@ class TaMOsTracker(BaseTracker):
                                   state.mem_samples),
             mem_labels=jnp.where(do_update, state.mem_labels.at[r_ind].set(labels),
                                  state.mem_labels),
+            mem_boxes=jnp.where(do_update, state.mem_boxes.at[r_ind].set(boxes),
+                                state.mem_boxes),
             mem_weights=jnp.where(do_update, sw_new, state.mem_weights),
             num_stored=jnp.where(do_update, jnp.minimum(num_stored + 1, M),
                                  num_stored),

@@ -72,10 +72,31 @@ def init_variables(net, example_inputs, seed: int = 0):
 
 def load_or_init_variables(net, example_inputs, cache_path: Optional[str] = None,
                            seed: int = 0):
-    """Load variables from cache_path if present, else init (and cache)."""
+    """Load variables from cache_path if present, else init (and cache).
+
+    A cached tree whose structure/shapes no longer match the net (the
+    architecture gained parameters since the cache was written) is discarded
+    and re-initialized — the expected structure comes from jax.eval_shape, so
+    the check costs no real compute."""
     if cache_path and os.path.isfile(cache_path):
         with open(cache_path, "rb") as f:
-            return serialization.msgpack_restore(f.read())
+            restored = serialization.msgpack_restore(f.read())
+        try:
+            import functools
+
+            import jax
+            expected = jax.eval_shape(
+                functools.partial(init_variables, net, example_inputs, seed))
+            same_structure = (jax.tree_util.tree_structure(expected)
+                              == jax.tree_util.tree_structure(restored))
+            same_shapes = same_structure and all(
+                tuple(a.shape) == tuple(b.shape)
+                for a, b in zip(jax.tree_util.tree_leaves(expected),
+                                jax.tree_util.tree_leaves(restored)))
+        except Exception:
+            same_shapes = True   # can't validate — keep the cache
+        if same_shapes:
+            return restored
     variables = init_variables(net, example_inputs, seed)
     if cache_path:
         os.makedirs(os.path.dirname(cache_path) or ".", exist_ok=True)

@@ -375,6 +375,91 @@ def test_atom_tracker_multi_frame_trace_parity():
         assert iou(my_b, ref_b) > 0.75, f"trace diverged: {my_b} vs {ref_b}"
 
 
+def test_tamos_tracker_first_step_score_parity():
+    """TaMOs vs the reference loop (deterministic: no augmentation). This
+    comparison drove a rebuild of our TaMOs inference path to match the
+    reference's: parallel cls/bbreg filter prediction with LTRB box-token
+    encodings from the memory boxes (bbreg filters predicted from the
+    ground-truth frame only), classification on the TRANSFORMER stride-16
+    feature bicubically upsampled to the FPN grid (cls_feature_type='trafo'),
+    and whole-frame sampling with a single aspect-preserving scale factor +
+    replicate padding (our previous anisotropic resize + FPN-classify gave
+    sigmoid scores saturated at 1.0 where the reference's sit at ~1e-6)."""
+    import ltr.models.tracking.tamosnet as ref_tamosnet
+
+    from pytracking.features.net_wrappers import NetWithBackbone
+    from pytracking.features.preprocessing import numpy_to_torch
+    from pytracking.tracker.tamos import TaMOs
+    from pytracking.utils.params import TrackerParams
+
+    from pytracking_tpu.models.tracking.tamosnet import tamosnet_resnet50
+    from pytracking_tpu.trackers.tamos import TaMOsParams, TaMOsTracker
+
+    torch.manual_seed(0)
+    ref_net = ref_tamosnet.tamosnet_resnet50(
+        backbone_pretrained=False, filter_size=1, head_feat_blocks=0,
+        head_feat_norm=True, final_conv=True, out_feature_dim=256,
+        feature_sz=(36, 24), head_layer=["layer2", "layer3"], num_tokens=10,
+        label_enc="gaussian", box_enc="ltrb_token",
+        fpn_head_cls_output_mode=["high"], fpn_head_bbreg_output_mode=["high"],
+        frozen_backbone_layers=[])
+    ref_net.eval()
+    randomize_bn_stats(ref_net)
+    sd = {k: v.numpy() for k, v in ref_net.state_dict().items()}
+    variables = pw.port_tamosnet(sd)
+
+    frames, init_bbox = _synthetic_sequence(n=3)
+
+    wrapper = NetWithBackbone(net_path="unused", use_gpu=False)
+    wrapper.net = ref_net
+    wrapper.initialize = lambda *a, **k: None
+    p = TrackerParams()
+    for k, v in dict(
+            debug=0, visualization=False, use_gpu=False, device="cpu",
+            train_feature_size=[24, 36], feature_stride=16,
+            image_sample_size=[384, 576], search_area_scale=5,
+            sample_memory_size=2, learning_rate=0.01,
+            init_samples_minimum_weight=0.25, update_classifier=True,
+            window_output=False, use_augmentation=False, augmentation={},
+            augmentation_expansion_factor=2, random_shift_factor=1 / 3,
+            advanced_localization=True, target_not_found_threshold=0.25,
+            distractor_threshold=0.8, hard_negative_threshold=0.5,
+            target_neighborhood_scale=1.5, dispalcement_scale=0.8,
+            hard_negative_learning_rate=0.02, update_scale_when_uncertain=True,
+            conf_ths=0.85, search_area_rescaling_at_occlusion=False,
+            use_gt_box=True, plot_iou=False, normalize_scores=True).items():
+        setattr(p, k, v)
+    p.net = wrapper
+    ref = TaMOs(p)
+    ref.visdom = None
+    ref.initialize(frames[0], {"init_bbox": list(init_bbox)})
+
+    mine = TaMOsTracker(TaMOsParams(), tamosnet_resnet50(), variables)
+    mine.enable_debug_outputs()
+    mine.initialize(frames[0], {"init_bbox": list(init_bbox)})
+
+    # reference frame-1 raw scores (classify path internals)
+    imt = numpy_to_torch(frames[1].astype(np.float32))
+    with torch.no_grad():
+        backbone_feat, _, _ = ref.extract_backbone_features(imt)
+        test_x = ref.get_backbone_head_feat(backbone_feat)
+        ref_scores = ref.classify_target(test_x)[0].numpy().squeeze()
+    ref_out = ref.track(frames[1])
+
+    my_out = mine.track(frames[1])
+    my_sig = np.asarray(my_out["score_map"]).squeeze()       # object-0 sigmoid
+    ref_sig = 1.0 / (1.0 + np.exp(-ref_scores[0]))
+    assert my_sig.shape == ref_sig.shape
+    corr = np.corrcoef(my_sig.ravel(), ref_sig.ravel())[0, 1]
+    assert corr > 0.99, f"score-map correlation {corr}"
+    assert np.abs(my_sig - ref_sig).max() < 1e-3
+
+    # both below the not-found threshold -> identical held boxes
+    np.testing.assert_allclose(np.asarray(my_out["target_bbox"], np.float64),
+                               np.asarray(ref_out["target_bbox"], np.float64),
+                               atol=1e-3)
+
+
 def test_kys_tracker_trace_identical_under_default_thresholds():
     """KYS vs the reference loop with ported weights: with the stock fused
     not-found threshold both implementations must take the same decisions frame
