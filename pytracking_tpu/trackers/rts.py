@@ -345,7 +345,12 @@ class RTSTracker(LWLTracker):
                           preferred_element_type=jnp.float32)
         inside = ((cy >= -0.5) & (cy <= Hs - 0.5))[:, None] & \
             ((cx >= -0.5) & (cx <= Ws - 0.5))[None, :]
-        seg_raw_im = jnp.where(inside & now_found, vals, -100.0)
+        # the mask is emitted UNCONDITIONALLY (reference rts.py:268-276) — the
+        # lost state gates memory updates and rescaling, not the output
+        # (gating the paste on now_found blanked every mask the moment the
+        # random-weight clf score dipped below the threshold; found via
+        # trace-parity against the reference)
+        seg_raw_im = jnp.where(inside, vals, -100.0)
 
         prob_im = jax.nn.sigmoid(seg_raw_im)
         out_pos, out_sz = self._seg_to_state(state, prob_im)

