@@ -375,6 +375,60 @@ def test_atom_tracker_multi_frame_trace_parity():
         assert iou(my_b, ref_b) > 0.75, f"trace diverged: {my_b} vs {ref_b}"
 
 
+def test_keeptrack_candidate_collection_matches_reference_class():
+    """KeepTrack's host association bookkeeping vs the REFERENCE's actual
+    CandidateCollection (pytracking/tracker/keep_track/candidates.py), driven
+    with identical random multi-frame scenarios: selected candidate/object ids
+    and the flag must agree every frame. (Completes the family coverage: the
+    SuperDiMP base is trace-verified via the DiMP tests, the TCM matcher at
+    net level, and the on-device association is property-tested against this
+    host class elsewhere.)"""
+    from pytracking.tracker.keep_track.candidates import \
+        CandidateCollection as RefCollection
+
+    from pytracking_tpu.trackers.keep_track import CandidateCollection
+
+    rng = np.random.default_rng(5)
+    for scenario in range(12):
+        n0 = int(rng.integers(1, 5))
+        scores0 = rng.uniform(0.05, 1.0, n0).astype(np.float32)
+        coords0 = rng.integers(0, 18, (n0, 2)).astype(np.float32)
+        certain = bool(rng.integers(0, 2))
+
+        ref = RefCollection(torch.from_numpy(scores0),
+                            torch.from_numpy(coords0),
+                            candidate_selection_is_certain=certain)
+        mine = CandidateCollection(scores0, coords0,
+                                   candidate_selection_is_certain=certain)
+
+        for frame in range(6):
+            n = int(rng.integers(1, 5))
+            scores = rng.uniform(0.05, 1.0, n).astype(np.float32)
+            coords = rng.integers(0, 18, (n, 2)).astype(np.float32)
+            n_prev = len(ref.candidates)
+            matches = rng.integers(-1, n_prev, n).astype(np.int64)
+            match_scores = rng.uniform(0.0, 1.0, n).astype(np.float32)
+
+            ref.update(torch.from_numpy(scores), torch.from_numpy(coords),
+                       torch.from_numpy(matches),
+                       torch.from_numpy(match_scores))
+            mine.update(scores, coords, matches, match_scores)
+
+            assert (mine.candidate_id_of_selected_candidate
+                    == ref.candidate_id_of_selected_candidate), \
+                f"scenario {scenario} frame {frame}: selected cid"
+            assert (mine.object_id_of_selected_candidate
+                    == ref.object_id_of_selected_candidate), \
+                f"scenario {scenario} frame {frame}: selected oid"
+            assert mine.flag == ref.flag, \
+                f"scenario {scenario} frame {frame}: flag"
+            assert sorted(mine.candidates.keys()) == sorted(ref.candidates.keys())
+            for cid in ref.candidates:
+                assert (mine.candidates[cid].object_id
+                        == ref.candidates[cid].object_id), \
+                    f"scenario {scenario} frame {frame}: cand {cid} oid"
+
+
 def test_rts_tracker_multi_frame_mask_parity():
     """RTS (dual-branch VOS) vs the reference loop: segmentation branch +
     classifier branch + clf-score fusion into the decoder. With ported weights
