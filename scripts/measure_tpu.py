@@ -67,10 +67,16 @@ def measure_jit_track(name, module, tracker_cls, n=40, frame_hw=(480, 640)):
     step = jax.jit(scan_fn)
     state, outs = step(tracker.variables, tracker.state, frames)
     jax.block_until_ready(outs)
-    t0 = time.perf_counter()
-    state, outs = step(tracker.variables, state, frames)
-    jax.block_until_ready(outs)
-    ms = 1000 * (time.perf_counter() - t0) / n
+    # best-of-3: the second dispatch can pay a one-time relayout recompile (the
+    # scan output state's layouts differ from the freshly initialized state's)
+    best = None
+    for _ in range(3):
+        t0 = time.perf_counter()
+        state, outs = step(tracker.variables, state, frames)
+        jax.block_until_ready(outs)
+        dt = time.perf_counter() - t0
+        best = dt if best is None else min(best, dt)
+    ms = 1000 * best / n
     print(f"{name:14s} device step {ms:7.2f} ms/frame  ({1000 / ms:7.1f} FPS)")
     return ms
 
