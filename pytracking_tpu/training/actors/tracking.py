@@ -204,7 +204,8 @@ def make_lwl_actor(net, loss_weight=None, num_refinement_iter: int = 2,
     return actor
 
 
-def make_kys_actor(net, loss_weight=None, train: bool = True):
+def make_kys_actor(net, loss_weight=None, train: bool = True,
+                   dimp_jitter_fn=None):
     """KYS training objective (reference actors/tracking.py:197-386 KYSActor):
     learn the DiMP filter on the train frames, then SCAN over the test sequence
     propagating the recurrent scene state and accumulating fused/appearance
@@ -213,7 +214,14 @@ def make_kys_actor(net, loss_weight=None, train: bool = True):
     XLA while-free program.
 
     Batch: train_images (Ntr,S,H,W,3), train_anno (Ntr,S,4),
-    test_images (T,S,H,W,3), test_label (T,S,h,w), optional test_valid_image (T,S).
+    test_images (T,S,H,W,3), test_label (T,S,h,w), optional test_valid_image (T,S)
+    and jitter_seed (S,) feeding `dimp_jitter_fn`.
+
+    `dimp_jitter_fn(key, score, label)` (DiMPScoreJittering,
+    reference kys.py:136-140 / actors/tracking.py:288-290) corrupts the
+    appearance-model scores of the test frames before the propagation module
+    sees them; the dimp_clf loss is computed on the jittered scores, exactly as
+    the reference does.
     """
     import jax
     import jax.numpy as jnp
@@ -263,6 +271,15 @@ def make_kys_actor(net, loss_weight=None, train: bool = True):
         dimp_scores = dimp_scores[:, :, :h, :w]
         labels = batch["test_label"][..., None]                    # (T,S,h,w,1)
         motion = motion[:, :, :h, :w]
+
+        if dimp_jitter_fn is not None:
+            # reference jitters every frame the predictor consumes
+            # (actors/tracking.py:288-290); frame 0 only seeds label_prev.
+            seed = jnp.sum(batch.get("jitter_seed",
+                                     jnp.zeros((), jnp.int32))).astype(jnp.uint32)
+            jit_key = jax.random.PRNGKey(seed)
+            jittered = dimp_jitter_fn(jit_key, dimp_scores[1:], labels[1:])
+            dimp_scores = jnp.concatenate([dimp_scores[:1], jittered], axis=0)
 
         # 3) init recurrent state from frame 0, then scan frames 1..T-1
         def predictor(cv, state_prev, score_cur, init_label):

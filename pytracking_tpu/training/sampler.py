@@ -264,6 +264,9 @@ class KYSSampler:
             "test_valid_image": test_valid_image,
             "test_visible_ratio": np.asarray(test_anno.get(
                 "visible_ratio", np.ones(num_test)), np.float32),
+            # per-sample seed for DiMPScoreJittering (the actor folds the batch's
+            # seeds into one jax.random key; reference uses torch's global RNG)
+            "jitter_seed": np.int32(random.getrandbits(31)),
             "dataset": dataset.get_name(),
         }
         if self.processing is not None:

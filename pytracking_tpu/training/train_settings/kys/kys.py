@@ -78,7 +78,13 @@ def run(settings: Settings, datasets=None, max_epochs: int = 40,
     params = {**variables["params"], **v_pred["params"]}
     batch_stats = {**variables.get("batch_stats", {}),
                    **v_pred.get("batch_stats", {})}
-    actor = make_kys_actor(net)
+    # reference kys.py:136-140: distractor-score augmentation so the propagation
+    # module learns not to blindly trust the appearance model
+    from pytracking_tpu.models.kys.score_jitter import DiMPScoreJittering
+    dimp_jitter_fn = DiMPScoreJittering(distractor_ratio=0.1, p_distractor=0.3,
+                                        max_distractor_enhance_factor=1.3,
+                                        min_distractor_enhance_factor=0.8)
+    actor = make_kys_actor(net, dimp_jitter_fn=dimp_jitter_fn)
 
     # reference kys.py:141-144: ONLY the response predictor trains (1e-2); the
     # DiMP base net is frozen; StepLR(15, 0.2)
