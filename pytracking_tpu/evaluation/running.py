@@ -42,8 +42,49 @@ def _read_image(path: str) -> np.ndarray:
         return np.asarray(Image.open(path).convert("RGB"))
 
 
+# OxUvA long-term benchmark submission format (reference running.py:13)
+PREDICTION_FIELD_NAMES = ["video", "object", "frame_num", "present", "score",
+                          "xmin", "xmax", "ymin", "ymax"]
+
+
+def _save_tracker_output_oxuva(seq: Sequence, tracker, output: dict):
+    """OxUvA CSV writer (reference running.py:15-55): one row per tracked frame
+    with image-normalised [xmin,xmax,ymin,ymax] and a boolean presence decision
+    thresholded on the tracker's object_presence_score."""
+    import csv
+
+    os.makedirs(tracker.results_dir, exist_ok=True)
+    frame_names = [os.path.splitext(os.path.basename(f))[0] for f in seq.frames]
+    img_h, img_w = output["image_shape"]
+    bb = np.array(output["target_bbox"], np.float64)
+    scores = np.array(output["object_presence_score"], np.float64)
+    # (x, w) -> normalised [xmin, xmax, ymin, ymax], clipped to the image
+    norm = np.stack([bb[:, 0] / img_w, (bb[:, 0] + bb[:, 2]) / img_w,
+                     bb[:, 1] / img_h, (bb[:, 1] + bb[:, 3]) / img_h],
+                    axis=1).clip(0.0, 1.0)
+    norm, scores = norm[1:], scores[1:]      # frame 0 is the init frame
+    frame_numbers = [int(n) for n in frame_names[1:]]
+    vid_id, obj_id = seq.name.split("_")[:2]
+    thresh = output.get("object_presence_score_threshold", 0.55)
+    pred_file = os.path.join(tracker.results_dir, f"{vid_id}_{obj_id}.csv")
+    with open(pred_file, "w") as fp:
+        writer = csv.DictWriter(fp, fieldnames=PREDICTION_FIELD_NAMES)
+        for i, fnum in enumerate(frame_numbers):
+            writer.writerow({
+                "video": vid_id, "object": obj_id, "frame_num": fnum,
+                "present": str(bool(scores[i] > thresh)).lower(),
+                "score": scores[i],
+                "xmin": norm[i, 0], "xmax": norm[i, 1],
+                "ymin": norm[i, 2], "ymax": norm[i, 3],
+            })
+
+
 def _results_exist(tracker, seq: Sequence) -> bool:
     """Skip-if-done (reference running.py:141-152)."""
+    if seq.dataset == "oxuva":
+        vid_id, obj_id = seq.name.split("_")[:2]
+        return os.path.isfile(os.path.join(tracker.results_dir,
+                                           f"{vid_id}_{obj_id}.csv"))
     if seq.object_ids is None:
         path = os.path.join(tracker.results_dir, f"{seq.name}.txt")
         return os.path.isfile(path)
@@ -169,6 +210,7 @@ def run_sequence(seq: Sequence, tracker, debug: int = 0,
 
     def track_frames():
         image = _read_image(seq.frames[0])
+        output["image_shape"] = image.shape[:2]
         start = time.time()
         try:
             t = tracker.create_tracker(multiobj=seq.multiobj_mode)
@@ -179,6 +221,8 @@ def run_sequence(seq: Sequence, tracker, debug: int = 0,
             # before the first jit trace: the flag adds score-map outputs to the step
             t.enable_debug_outputs()
         info = seq.init_info()
+        output["object_presence_score_threshold"] = getattr(
+            getattr(t, "params", None), "object_presence_score_threshold", 0.55)
         prev_output = t.initialize(image, info) or {}
         init_time = time.time() - start
         init_bbox = info.get("init_bbox")
@@ -188,6 +232,17 @@ def run_sequence(seq: Sequence, tracker, debug: int = 0,
                          for oid in info.get("object_ids", seq.object_ids)}
         output["target_bbox"].append(init_bbox)
         output["time"].append(init_time)
+        # the reference stores a default presence of 1.0 for the init frame
+        # (tracker.py:191-197 init_default) so the presence file stays row-aligned
+        # with the bbox file; per-object dict in multi-object mode
+        init_presence = prev_output.get("object_presence_score")
+        if init_presence is None:
+            if seq.object_ids is not None:
+                init_presence = {oid: 1.0
+                                 for oid in info.get("object_ids", seq.object_ids)}
+            else:
+                init_presence = 1.0
+        output["object_presence_score"].append(init_presence)
         if "segmentation" in prev_output:
             output["segmentation"].append(prev_output["segmentation"])
 
@@ -221,7 +276,10 @@ def run_sequence(seq: Sequence, tracker, debug: int = 0,
     n = len(output["time"])
     print(f"Tracker: {tracker.name} {tracker.parameter_name} , "
           f"Sequence: {seq.name}, FPS: {n / max(total, 1e-9):.2f}")
-    _save_tracker_output(seq, tracker, output)
+    if seq.dataset == "oxuva":
+        _save_tracker_output_oxuva(seq, tracker, output)
+    else:
+        _save_tracker_output(seq, tracker, output)
     return output
 
 

@@ -195,6 +195,83 @@ def test_kys_actor_consumes_jittered_scores():
         float(st1["Loss/dimp_clf"]))
 
 
+def test_oxuva_csv_writer_round_trip(tmp_path):
+    """run_sequence on an oxuva-shaped sequence must write the OxUvA submission
+    CSV (reference running.py:15-55): <vid>_<obj>.csv with normalised clipped
+    boxes, integer frame numbers (init frame dropped) and a lowercase boolean
+    presence decision; skip-if-done must key on the same file."""
+    import csv
+
+    from PIL import Image
+
+    from pytracking_tpu.evaluation.data import Sequence
+    from pytracking_tpu.evaluation.running import (_results_exist, run_sequence)
+
+    img_h, img_w = 40, 60
+    frame_dir = tmp_path / "frames"
+    frame_dir.mkdir()
+    frames = []
+    for i in range(4):
+        p = frame_dir / f"{i:06d}.png"
+        Image.fromarray(np.zeros((img_h, img_w, 3), np.uint8)).save(p)
+        frames.append(str(p))
+
+    gt = np.array([[5.0, 5.0, 10.0, 10.0]] * 4)
+    seq = Sequence("vid0001_obj1", frames, "oxuva", gt)
+
+    bboxes = [[6.0, 6.0, 10.0, 10.0], [-4.0, 8.0, 10.0, 10.0],
+              [55.0, 30.0, 20.0, 20.0]]
+    scores = [0.9, 0.3, 0.7]
+
+    class StubTracker:
+        class params:
+            object_presence_score_threshold = 0.55
+
+        def initialize(self, image, info):
+            self.i = 0
+            return {}
+
+        def track(self, image, info=None):
+            out = {"target_bbox": bboxes[self.i],
+                   "object_presence_score": scores[self.i]}
+            self.i += 1
+            return out
+
+    class StubWrapper:
+        name, parameter_name, run_id = "stub", "default", None
+        results_dir = str(tmp_path / "results")
+        segmentation_dir = str(tmp_path / "seg")
+
+        def create_tracker(self, multiobj=False):
+            return StubTracker()
+
+    wrapper = StubWrapper()
+    assert not _results_exist(wrapper, seq)
+    run_sequence(seq, wrapper, debug=1)
+
+    pred_file = tmp_path / "results" / "vid0001_obj1.csv"
+    assert pred_file.is_file()
+    assert _results_exist(wrapper, seq)
+
+    with open(pred_file) as fp:
+        rows = list(csv.DictReader(
+            fp, fieldnames=["video", "object", "frame_num", "present", "score",
+                            "xmin", "xmax", "ymin", "ymax"]))
+    assert len(rows) == 3  # init frame dropped
+    assert [r["video"] for r in rows] == ["vid0001"] * 3
+    assert [r["object"] for r in rows] == ["obj1"] * 3
+    assert [int(r["frame_num"]) for r in rows] == [1, 2, 3]
+    assert [r["present"] for r in rows] == ["true", "false", "true"]
+    # frame 1: plain normalisation
+    assert float(rows[0]["xmin"]) == pytest.approx(6.0 / img_w)
+    assert float(rows[0]["xmax"]) == pytest.approx(16.0 / img_w)
+    assert float(rows[0]["ymin"]) == pytest.approx(6.0 / img_h)
+    assert float(rows[0]["ymax"]) == pytest.approx(16.0 / img_h)
+    # frame 2: clipped at 0; frame 3: clipped at 1
+    assert float(rows[1]["xmin"]) == 0.0
+    assert float(rows[2]["xmax"]) == 1.0 and float(rows[2]["ymax"]) == 1.0
+
+
 def test_kys_recipe_wires_score_jittering():
     """The KYS training recipe must construct DiMPScoreJittering with the
     reference's hyperparameters (ltr/train_settings/kys/kys.py:136-140)."""
