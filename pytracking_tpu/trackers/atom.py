@@ -116,8 +116,14 @@ class ATOMParams:
     box_jitter_sz: float = 0.5
     maximal_aspect_ratio: float = 6.0
     box_refinement_iter: int = 5
-    box_refinement_step_length: float = 1.0
+    # scalar, or (pos, sz) pair -> per-coordinate [pos, pos, sz, sz] steps
+    # (reference atom.py:761-765)
+    box_refinement_step_length: object = 1.0
     box_refinement_step_decay: float = 1.0
+    # 'default' | 'relative' — probabilistic variants (atom_prob_ml /
+    # atom_gmm_sampl) ascend in the relative (cx/σ, cy/σ, log w, log h) space
+    # (reference atom.py:798-833, parameter/atom/atom_prob_ml.py:89)
+    box_refinement_space: str = "default"
     use_iounet_pos_for_learning: bool = True
 
     def aug_dict(self) -> dict:
@@ -626,16 +632,41 @@ class ATOMTracker(BaseTracker):
         def iou_fn(boxes):
             return self._predict_iou(modulation, iou_feat, boxes[None])[0]
 
-        def ga_step(carry, _):
-            boxes, step = carry
-            iou, g = jax.vjp(iou_fn, boxes)
-            grad = g(jnp.ones_like(iou))[0]
-            boxes = boxes + step * grad * jnp.tile(boxes[:, 2:], (1, 2))
-            return (boxes, step * p.box_refinement_step_decay), None
+        step0 = p.box_refinement_step_length
+        step0 = jnp.array([step0[0], step0[0], step0[1], step0[1]]) \
+            if isinstance(step0, (tuple, list)) else jnp.asarray(step0)
 
-        (boxes, _), _ = lax.scan(
-            ga_step, (init_boxes, jnp.asarray(p.box_refinement_step_length)),
-            None, length=p.box_refinement_iter)
+        if p.box_refinement_space == "relative":
+            # ascent in (cx/σ, cy/σ, log w, log h) space (reference
+            # atom.py:798-833); used by atom_prob_ml / atom_gmm_sampl
+            from pytracking_tpu.ops.bbox import rect_to_rel, rel_to_rect
+            sz_norm = init_boxes[0:1, 2:]
+
+            def iou_rel(boxes_rel):
+                return iou_fn(rel_to_rect(boxes_rel, sz_norm))
+
+            def ga_step(carry, _):
+                boxes_rel, step = carry
+                iou, g = jax.vjp(iou_rel, boxes_rel)
+                grad = g(jnp.ones_like(iou))[0]
+                boxes_rel = boxes_rel + step * grad
+                return (boxes_rel, step * p.box_refinement_step_decay), None
+
+            (boxes_rel, _), _ = lax.scan(
+                ga_step, (rect_to_rel(init_boxes, sz_norm), step0),
+                None, length=p.box_refinement_iter)
+            boxes = rel_to_rect(boxes_rel, sz_norm)
+        else:
+            def ga_step(carry, _):
+                boxes, step = carry
+                iou, g = jax.vjp(iou_fn, boxes)
+                grad = g(jnp.ones_like(iou))[0]
+                boxes = boxes + step * grad * jnp.tile(boxes[:, 2:], (1, 2))
+                return (boxes, step * p.box_refinement_step_decay), None
+
+            (boxes, _), _ = lax.scan(
+                ga_step, (init_boxes, step0),
+                None, length=p.box_refinement_iter)
         iou = iou_fn(boxes)
 
         boxes = boxes.at[:, 2:].set(jnp.maximum(boxes[:, 2:], 1.0))

@@ -525,6 +525,12 @@ class DiMPTracker(BaseTracker):
         def iou_fn(boxes):
             return self._predict_iou(modulation, iou_feat, boxes[None])[0]
 
+        step0 = p.box_refinement_step_length
+        # (pos, sz) pair -> per-coordinate [pos, pos, sz, sz] step lengths
+        # (reference atom.py:761-765, shared convention)
+        step0 = jnp.array([step0[0], step0[0], step0[1], step0[1]]) \
+            if isinstance(step0, (tuple, list)) else jnp.asarray(step0)
+
         if p.box_refinement_space == "relative":
             # gradient ascent in the (cx/σ, cy/σ, log w, log h) space
             # (reference dimp.py:753-788 optimize_boxes_relative)
@@ -542,8 +548,7 @@ class DiMPTracker(BaseTracker):
                 return (boxes_rel, step * p.box_refinement_step_decay), None
 
             (boxes_rel, _), _ = jax.lax.scan(
-                ga_step, (rect_to_rel(init_boxes, sz_norm),
-                          jnp.asarray(p.box_refinement_step_length)),
+                ga_step, (rect_to_rel(init_boxes, sz_norm), step0),
                 None, length=p.box_refinement_iter)
             boxes = rel_to_rect(boxes_rel, sz_norm)
         else:
@@ -555,7 +560,7 @@ class DiMPTracker(BaseTracker):
                 return (boxes, step * p.box_refinement_step_decay), None
 
             (boxes, _), _ = jax.lax.scan(
-                ga_step, (init_boxes, jnp.asarray(p.box_refinement_step_length)),
+                ga_step, (init_boxes, step0),
                 None, length=p.box_refinement_iter)
         iou = iou_fn(boxes)
 

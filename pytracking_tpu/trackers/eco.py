@@ -13,10 +13,11 @@ emulates complex as (...,2) real pairs through `pytracking/libs/complex.py`):
   * Joint init optimization and the per-update filter solves both run through the
     pytree Gauss-Newton-CG (ops/solvers.py) with ECO's diagonal preconditioner
     (sample-energy + reg-energy mix, optim.py:24-31).
-  * Two feature blocks from ResNet-18: conv1+pool (stride 4, compressed to 16) and
-    layer3 (stride 16, compressed to 64). NOTE: the reference's shallow block
-    (ResNet18m1 'vggconv1') is stride 2; stride 4 keeps the shallow spectra a
-    TPU-friendly size with the same multi-resolution structure.
+  * Two feature blocks from the ResNet18-VGG-m1 hybrid backbone (the reference's
+    ResNet18m1, features/deep.py:15): the VGG-m 7x7 'vggconv1' block (stride 2,
+    pooled x2 -> stride 4, compressed to 16) and layer3 (stride 16, compressed to
+    64) — built by parameter/eco/default.py via
+    models/backbones/vggm_resnet.resnet18_vggmconv1.
   * Localization: per-block score spectra, weighted `sum_fs`, `sample_fs` to the
     output grid, wrap-around argmax over 5 scales (reference eco.py:246-287).
 """

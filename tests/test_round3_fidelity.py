@@ -272,6 +272,83 @@ def test_oxuva_csv_writer_round_trip(tmp_path):
     assert float(rows[2]["xmax"]) == 1.0 and float(rows[2]["ymax"]) == 1.0
 
 
+def test_all_parameter_modules_importable():
+    """Every parameter variant module (incl. the new atom_prob_ml /
+    atom_gmm_sampl, reference pytracking/parameter/atom/atom_prob_ml.py) must
+    import and expose parameters()."""
+    import importlib
+    import pkgutil
+
+    import pytracking_tpu.parameter as proot
+
+    count = 0
+    for tracker_pkg in pkgutil.iter_modules(proot.__path__):
+        if not tracker_pkg.ispkg:
+            continue
+        pkg = importlib.import_module(f"pytracking_tpu.parameter"
+                                      f".{tracker_pkg.name}")
+        for variant in pkgutil.iter_modules(pkg.__path__):
+            mod = importlib.import_module(
+                f"pytracking_tpu.parameter.{tracker_pkg.name}.{variant.name}")
+            assert callable(getattr(mod, "parameters", None)), \
+                f"{tracker_pkg.name}/{variant.name} lacks parameters()"
+            count += 1
+    assert count >= 28, count  # 26 round-2 variants + atom_prob_ml + atom_gmm_sampl
+
+
+def test_atom_prob_params_match_reference():
+    """atom_prob_ml / atom_gmm_sampl configs mirror reference
+    parameter/atom/atom_prob_ml.py:89-97 / atom_gmm_sampl.py:89-97."""
+    import inspect
+
+    from pytracking_tpu.parameter.atom import atom_gmm_sampl, atom_prob_ml
+
+    for mod, steps in ((atom_prob_ml, "(2e-4, 10e-4)"),
+                       (atom_gmm_sampl, "(1e-2, 5e-2)")):
+        src = inspect.getsource(mod)
+        assert 'box_refinement_space="relative"' in src
+        assert "box_refinement_iter=10" in src
+        assert f"box_refinement_step_length={steps}" in src
+
+
+@pytest.mark.filterwarnings("ignore")
+def test_atom_relative_box_refinement_end_to_end():
+    """The relative-space gradient-ascent refinement (reference atom.py:798-833)
+    compiles and yields finite boxes on the synthetic moving-target sequence."""
+    import jax
+    import jax.numpy as jnp
+
+    from test_atom_tracker import tiny_atomnet
+    from test_dimp_tracker import make_frame
+    from pytracking_tpu.trackers.atom import ATOMParams, ATOMTracker
+
+    net = tiny_atomnet()
+    params = ATOMParams(
+        max_image_sample_size=96 ** 2, min_image_sample_size=96 ** 2,
+        compressed_dim=16, sample_memory_size=10,
+        init_CG_iter=12, init_GN_iter=3, CG_iter=2, hard_negative_CG_iter=2,
+        train_skipping=4,
+        augmentation=(("fliplr", True),),
+        num_init_random_boxes=3, iounet_k=2,
+        box_refinement_space="relative", box_refinement_iter=4,
+        box_refinement_step_length=(2e-4, 10e-4))
+
+    dummy = jnp.zeros((1, 1, 96, 96, 3))
+    bb = jnp.array([[[30.0, 30.0, 20.0, 20.0]]])
+    prop = jnp.array([[[[30.0, 30.0, 20.0, 20.0]]]])
+    variables = net.init(jax.random.PRNGKey(0), dummy, dummy, bb, prop,
+                         train=False)
+    tracker = ATOMTracker(params, net, variables)
+    centers = [(60 + 3 * t, 60 + 2 * t) for t in range(4)]
+    tracker.initialize(make_frame(*centers[0]),
+                       {"init_bbox": [centers[0][1] - 10, centers[0][0] - 10,
+                                      20, 20]})
+    for t in range(1, 4):
+        out = tracker.track(make_frame(*centers[t]))
+        bbox = out["target_bbox"]
+        assert len(bbox) == 4 and all(np.isfinite(bbox)), bbox
+
+
 def test_kys_recipe_wires_score_jittering():
     """The KYS training recipe must construct DiMPScoreJittering with the
     reference's hyperparameters (ltr/train_settings/kys/kys.py:136-140)."""
