@@ -330,11 +330,29 @@ class ECOTracker(BaseTracker):
             _, _, vt = jnp.linalg.svd(cov)
             projs.append(vt[:cdim].T)                        # (Cin, cdim)
 
-        # fourier samples
+        # fourier samples, shift-corrected so every training sample has a
+        # CENTERED target (reference eco.py:117-128): undo the pure-shift
+        # augmentations (patch pixels) and the sub-pixel residual of the
+        # non-integer target position (image pixels / target_scale). Without
+        # this the init filter is learned on ±shift-displaced targets against a
+        # centered label — a blurred filter whose smoother response biases the
+        # 5-scale argmax toward larger scales (found via scale-trace parity).
+        shift_back = np.zeros((T, 2), np.float32)
+        for i, t in enumerate(transforms):
+            if t.kind == "identity":
+                shift_back[i] = t.shift
+        sub_pix = (pos - init_pos) / target_scale          # patch pixels
+        shift_norm = (2 * math.pi / float(sample_sz)) * \
+            (jnp.asarray(shift_back) + sub_pix[None, :])    # (T, 2)
+
+        raw = []
         samples_f = []
         reg_energies = []
         for b, f in enumerate(feats):
             xf = self._fourier_sample(f, feat_szs[b], filt_szs[b])   # (T, fh, fw, C)
+            xf = jnp.moveaxis(fourier.shift_fs(jnp.moveaxis(xf, -1, -3),
+                                               shift_norm[:, None, :]), -3, -1)
+            raw.append(xf)
             xfp = jnp.einsum("mhwc,cd->mhwd", xf, projs[b])
             samples_f.append(xfp)
             w = reg_windows[b]
@@ -354,8 +372,6 @@ class ECOTracker(BaseTracker):
 
         # joint optimization over {hf, P} (reference eco.py:151-158)
         filters0 = [jnp.zeros(s.shape[1:], jnp.complex64) for s in samples_f]
-        raw = [self._fourier_sample(f, feat_szs[b], filt_szs[b])
-               for b, f in enumerate(feats)]
         residual = self._make_residual(None, yfs, sample_weights[:T] * 0 + 1.0 / T,
                                        reg_windows, list(filt_szs), True,
                                        raw_samples=raw)
@@ -460,10 +476,16 @@ class ECOTracker(BaseTracker):
         sw_new = sw_new.at[r_ind].set(new_w)
         sw_new = sw_new / sw_new.sum()
 
+        # store the sample shifted so the target sits at the patch center
+        # (reference eco.py:226-228): pos moved by `translation` since the crop
+        shift_samp = (2 * math.pi) * (state.pos - sample_pos) / \
+            (scales[scale_ind] * float(sample_sz))
         new_mem = []
         new_energy = []
         for b in range(len(p.blocks)):
             xf_b = test_xf[b][scale_ind]
+            xf_b = jnp.moveaxis(fourier.shift_fs(jnp.moveaxis(xf_b, -1, -3),
+                                                 shift_samp), -3, -1)
             new_mem.append(state.samples_f[b].at[r_ind].set(xf_b))
             lr = p.learning_rate
             new_energy.append((1 - lr) * state.sample_energy[b] +

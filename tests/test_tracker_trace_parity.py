@@ -983,6 +983,13 @@ def test_eco_tracker_multi_frame_trace_parity():
         ref_b = np.asarray(ref.track(f)["target_bbox"], np.float64)
         my_b = np.asarray(mine.track(f)["target_bbox"], np.float64)
         assert iou(my_b, ref_b) > 0.6, f"trace diverged: {my_b} vs {ref_b}"
+        # scale parity within ONE 1.02 scale step per frame (the round-2 scale
+        # drift — init samples stored without the reference's Fourier shift-back
+        # eco.py:117-128 — grew the scale by ~1.02^2 per frame; fixed round 3)
+        ratio = float(mine.state.target_scale) / float(ref.target_scale)
+        assert 1 / 1.021 < ratio < 1.021, \
+            f"scale diverged: mine={float(mine.state.target_scale):.4f} " \
+            f"ref={float(ref.target_scale):.4f}"
 
 
 def test_dimp50_tracker_trace_identical_under_default_thresholds(dimp_pair):
