@@ -51,6 +51,11 @@ class RTSParams(LWLParams):
     clf_target_not_found_threshold_too_small: float = 0.50
     clf_init_samples_minimum_weight: float = 0.25
     clf_filter_size: int = 4
+    # image-space init augmentation of the clf branch (reference
+    # parameter/rts/rts50.py:99-103; applied in clf_branch.py:95-115)
+    clf_use_augmentation: bool = True
+    clf_augmentation: tuple = (("fliplr", True),
+                               ("blur", ((3, 1), (1, 3), (2, 2))))
     scale_history_size: int = 30
     # STA box-init (reference parameter/rts/rts50.py:20-21, sta_helper.py)
     sta_image_sample_size: Tuple[int, int] = (30 * 16, 52 * 16)
@@ -205,50 +210,57 @@ class RTSTracker(LWLTracker):
         Hs, Ws = p.image_sample_size
         support = jnp.array([float(Hs), float(Ws)])
 
-        # classifier branch init on the identity crop (reference clf_branch.py init:
-        # augs reduced to the identity sample — the meta-learned initializer +
-        # optimizer carry the heavy lifting)
+        # classifier-branch init with the reference's IMAGE-SPACE augmentations
+        # (clf_branch.py:53-115 generate_init_samples; parameter/rts/rts50.py:99-103
+        # -> [identity, fliplr, blur(3,1), blur(1,3), blur(2,2)])
+        from pytracking_tpu.ops import augmentation as aug
+
         init_pos = jnp.round(state.pos)
         patch, coords = sample_patch(im.astype(jnp.float32), init_pos,
                                      state.target_scale * support, (Hs, Ws),
                                      mode=p.border_mode)
         sample_pos = 0.5 * (coords[:2] + coords[2:])
         sample_scale = jnp.sqrt(jnp.prod((coords[2:] - coords[:2]) / support))
-        backbone_feat = self._backbone(patch[None])
-        clf_x = self._clf_feat(backbone_feat)                  # (1, h, w, C)
+        augs = dict(p.clf_augmentation) if p.clf_use_augmentation else {}
+        transforms = aug.build_transforms(augs, (Hs, Ws), 0.0)
+        im_patches = aug.apply_all(patch, transforms, (Hs, Ws))   # (T, Hs, Ws, 3)
+        T = im_patches.shape[0]
+        backbone_feat = self._backbone(im_patches)
+        clf_xs = self._clf_feat(backbone_feat)                    # (T, h, w, C)
+        h, w = clf_xs.shape[1], clf_xs.shape[2]
         target_box = _get_iounet_box(state.pos, state.target_sz, sample_pos,
                                      sample_scale, support)
-        flip_x = clf_x[:, :, ::-1]
-        feats = jnp.concatenate([clf_x, flip_x])[:, None]      # (2, 1, h, w, C)
-        h, w = clf_x.shape[1], clf_x.shape[2]
         flip_box = target_box.at[0].set(float(Ws) - target_box[0] - target_box[2])
-        boxes = jnp.stack([target_box, flip_box])[:, None]
+        boxes = jnp.stack([flip_box if t.kind == "fliplr" else target_box
+                           for t in transforms])                  # (T, 4)
+        feats = clf_xs[:, None]                                   # (T, 1, h, w, C)
 
         # Gaussian regression labels (reference clf_branch.py:479-498): sigma from
-        # the base target size; identical for the flipped sample (centered target)
+        # the base target size; the target stays centered under flip/blur so all
+        # samples share the same label
         clf_sigma = jnp.sqrt(jnp.prod(
             jnp.array([h / float(Hs), w / float(Ws)]) * state.base_target_sz)) \
             * p.clf_output_sigma_factor * jnp.ones(2)
         init_label = self._clf_label((h, w), clf_sigma, state.pos, sample_pos,
                                      sample_scale, support)
-        labels2 = jnp.stack([init_label, init_label])[:, None]   # (2, 1, h', w')
-        clf_filter, _, _ = self._clf_get_filter(feats, boxes, labels2,
+        labels = jnp.broadcast_to(init_label[None, None],
+                                  (T, 1) + init_label.shape)
+        clf_filter, _, _ = self._clf_get_filter(feats, boxes[:, None], labels,
                                                 p.clf_net_opt_iter)
 
         M = p.clf_sample_memory_size
-        clf_mem = jnp.zeros((M,) + clf_x.shape[1:]).at[:2].set(
-            jnp.concatenate([clf_x, flip_x]))
-        clf_boxes = jnp.zeros((M, 4)).at[:2].set(jnp.stack([target_box, flip_box]))
-        clf_labels = jnp.zeros((M,) + init_label.shape).at[:2].set(
-            jnp.stack([init_label, init_label]))
-        clf_w = jnp.zeros((M,)).at[:2].set(0.5)
+        clf_mem = jnp.zeros((M,) + clf_xs.shape[1:]).at[:T].set(clf_xs)
+        clf_boxes = jnp.zeros((M, 4)).at[:T].set(boxes)
+        clf_labels = jnp.zeros((M,) + init_label.shape).at[:T].set(
+            jnp.broadcast_to(init_label[None], (T,) + init_label.shape))
+        clf_w = jnp.zeros((M,)).at[:T].set(1.0 / T)
 
         base = {f: getattr(state, f) for f in LWLState.__dataclass_fields__}
         return RTSState(
             **base,
             clf_filter=clf_filter, clf_mem_samples=clf_mem, clf_mem_boxes=clf_boxes,
             clf_mem_labels=clf_labels, clf_sigma=clf_sigma,
-            clf_mem_weights=clf_w, clf_num_stored=jnp.asarray(2, jnp.int32),
+            clf_mem_weights=clf_w, clf_num_stored=jnp.asarray(T, jnp.int32),
             clf_prev_ind=jnp.asarray(-1, jnp.int32),
             scale_history=jnp.full((p.scale_history_size,), state.target_scale),
             scale_hist_len=jnp.asarray(1, jnp.int32),

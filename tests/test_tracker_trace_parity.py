@@ -502,8 +502,13 @@ def test_rts_tracker_multi_frame_mask_parity():
             clf_target_not_found_threshold_too_small=0.50,
             clf_distractor_threshold=10000, clf_hard_negative_threshold=10000,
             clf_target_neighborhood_scale=2.2, clf_displacement_scale=0.8,
-            clf_hard_negative_learning_rate=0.02, clf_use_augmentation=False,
-            clf_augmentation={}).items():
+            clf_hard_negative_learning_rate=0.02,
+            # the reference's faithful clf init augmentation (rts50.py:99-103);
+            # round 3 replaced our feature-space flip approximation with the
+            # same image-space fliplr + separable blurs
+            clf_use_augmentation=True,
+            clf_augmentation={"fliplr": True,
+                              "blur": [(3, 1), (1, 3), (2, 2)]}).items():
         setattr(p, k, v)
     p.net = wrapper
     ref = RTS(p)
