@@ -30,6 +30,7 @@ class MultiObjectWrapper:
         self.net = net
         self.variables = variables
         self.trackers: "OrderedDict[Any, Any]" = OrderedDict()
+        self.initialized_ids: list = []
         self._frame_num = 0
 
     def _create(self):
@@ -54,40 +55,66 @@ class MultiObjectWrapper:
             info_split[obj_id] = d
         return info_split
 
-    def initialize(self, image, info: dict) -> dict:
+    def initialize(self, image, info: dict) -> Optional[dict]:
         self._frame_num = 1
         self.trackers = OrderedDict()
-        object_ids = info.get("object_ids") or ["1"]
+        self.initialized_ids = []
         info = dict(info)
+        init_ids = info.get("init_object_ids")
+        if init_ids is not None and len(init_ids) == 0:
+            # empty (re-)init: clear state, nothing to track yet (reference
+            # multi_object_wrapper.py:104-105, driven by run_video_generic reset)
+            return None
+        object_ids = list(info.get("object_ids") or init_ids or ["1"])
+        init_ids = list(init_ids) if init_ids is not None else list(object_ids)
         info.setdefault("object_ids", object_ids)
-        per_obj = self._split_info(info)
-        init_outs = {}
-        for obj_id in object_ids:
+        per_obj = self._split_info({**info, "object_ids": init_ids})
+        init_outs = OrderedDict()
+        for obj_id in init_ids:
             t = self._create()
             out = t.initialize(image, per_obj[obj_id]) or {}
+            if per_obj[obj_id].get("init_bbox") is not None:
+                out.setdefault("target_bbox", per_obj[obj_id]["init_bbox"])
             self.trackers[obj_id] = t
             init_outs[obj_id] = out
+        self.initialized_ids = list(init_ids)
         if any(init_outs.values()):
             return self._merge(init_outs, image.shape[:2])
         return {}
 
     def track(self, image, info: Optional[dict] = None) -> dict:
         self._frame_num += 1
-        info = info or {}
+        info = dict(info or {})
 
-        # late-initialized objects (reference multi_object_wrapper.py:137-158)
-        new_ids = [oid for oid in info.get("object_ids", [])
-                   if oid not in self.trackers]
+        # new objects this frame: explicit init_object_ids (reference protocol,
+        # multi_object_wrapper.py:141-176) or unseen ids in object_ids (dataset
+        # adapters that list every live object per frame)
+        new_ids = list(info.get("init_object_ids") or [])
+        if not new_ids:
+            new_ids = [oid for oid in info.get("object_ids", [])
+                       if oid not in self.trackers]
+
+        obj_info = {k: v for k, v in info.items()
+                    if k not in ("object_ids", "init_object_ids", "init_bbox",
+                                 "init_mask", "sequence_object_ids")}
+        # track the already-initialized objects FIRST (reference :147-155) — a
+        # freshly added object is initialized on this frame, not tracked on it
+        outputs = OrderedDict((oid, self.trackers[oid].track(image, obj_info))
+                              for oid in self.initialized_ids)
+
         if new_ids:
             per_obj = self._split_info({**info, "object_ids": new_ids})
+            prev_output = info.get("previous_output", OrderedDict())
             for oid in new_ids:
-                t = self._create()
-                t.initialize(image, per_obj[oid])
+                t = self.trackers.get(oid) or self._create()
+                obj_init = dict(per_obj[oid])
+                obj_init["previous_output"] = prev_output
+                out = t.initialize(image, obj_init) or {}
+                if per_obj[oid].get("init_bbox") is not None:
+                    out.setdefault("target_bbox", per_obj[oid]["init_bbox"])
                 self.trackers[oid] = t
-
-        obj_info = {k: v for k, v in info.items() if k != "object_ids"}
-        outputs = {oid: t.track(image, obj_info)
-                   for oid, t in self.trackers.items()}
+                outputs[oid] = out
+            self.initialized_ids.extend(new_ids)
         return self._merge(outputs, image.shape[:2])
 
     def _merge(self, outputs: Dict[Any, dict], im_shape) -> dict:
@@ -100,7 +127,8 @@ class MultiObjectWrapper:
         merged: dict = {"target_bbox": {}, "object_presence_score": {}}
         seg_scores = {}
         for oid, out in outputs.items():
-            merged["target_bbox"][oid] = out["target_bbox"]
+            if "target_bbox" in out:
+                merged["target_bbox"][oid] = out["target_bbox"]
             if "object_presence_score" in out:
                 merged["object_presence_score"][oid] = out["object_presence_score"]
             # soft masks when the tracker emits them, else the binary mask

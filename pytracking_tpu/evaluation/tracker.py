@@ -153,3 +153,205 @@ class Tracker:
             results.append(out["target_bbox"])
         cap.release()
         return results
+
+    def run_video_generic(self, videofilepath: Optional[str] = None,
+                          optional_box=None, debug: int = 0, visdom_info=None,
+                          save_results: bool = False, frame_source=None,
+                          event_source=None, display: Optional[bool] = None):
+        """Interactive MULTI-object video/webcam loop (reference
+        tracker.py:260-446 run_video_generic): mouse-drawn boxes add new objects
+        at ANY frame through MultiObjectWrapper; already-tracked objects keep
+        tracking while new ones initialize on their draw frame.
+
+        Headless/scripted mode (tests, batch): pass `frame_source` (an iterable
+        of RGB uint8 frames) and/or `event_source`, a callable
+        `event_source(frame_number) -> list[event]` with events
+          ("add_box", [x, y, w, h])  — same as finishing a mouse-drawn rectangle
+          ("reset",)                 — same as pressing 'r'
+          ("quit",)                  — same as pressing 'q'
+        When `event_source` is given the cv2 UI is skipped entirely.
+
+        Returns {obj_id: [xywh per frame since that object's init]}.
+        """
+        from collections import OrderedDict
+
+        self._init_visdom(visdom_info, debug)
+        tracker = self.create_tracker(multiobj=True)
+
+        interactive = event_source is None and (display is None or display)
+        cv2 = None
+        cap = None
+        ui = None
+        display_name = f"Display: {self.name}"
+        if frame_source is None or interactive:
+            import cv2  # noqa: F811  (real UI / video decode path)
+        if frame_source is None:
+            cap = cv2.VideoCapture(videofilepath if videofilepath is not None
+                                   else 0)
+
+            def _frames():
+                while True:
+                    ok, f = cap.read()
+                    if not ok or f is None:
+                        return
+                    yield cv2.cvtColor(f, cv2.COLOR_BGR2RGB)
+
+            frame_source = _frames()
+        if interactive:
+            ui = _UIControl()
+            cv2.namedWindow(display_name,
+                            cv2.WINDOW_NORMAL | cv2.WINDOW_KEEPRATIO)
+            cv2.resizeWindow(display_name, 960, 720)
+            cv2.setMouseCallback(display_name, ui.mouse_callback)
+
+        next_object_id = 1
+        sequence_object_ids: list = []
+        prev_output = OrderedDict()
+        output_boxes: "OrderedDict[str, list]" = OrderedDict()
+        frame_number = 0
+        quit_requested = False
+
+        for frame in frame_source:
+            frame_number += 1
+            new_boxes = []
+            do_reset = False
+
+            if event_source is not None:
+                for ev in event_source(frame_number) or []:
+                    if ev[0] == "add_box":
+                        new_boxes.append(list(map(float, ev[1])))
+                    elif ev[0] == "reset":
+                        do_reset = True
+                    elif ev[0] == "quit":
+                        quit_requested = True
+            elif ui is not None and ui.new_init:
+                ui.new_init = False
+                new_boxes.append(ui.get_bb())
+
+            if frame_number == 1 and optional_box is not None:
+                new_boxes.insert(0, list(map(float, optional_box)))
+
+            if do_reset:
+                next_object_id = 1
+                sequence_object_ids = []
+                prev_output = OrderedDict()
+                tracker.initialize(frame, {"object_ids": [],
+                                           "init_object_ids": [],
+                                           "init_bbox": OrderedDict()})
+
+            info = OrderedDict()
+            info["previous_output"] = prev_output
+            if new_boxes:
+                ids = [str(next_object_id + i) for i in range(len(new_boxes))]
+                next_object_id += len(new_boxes)
+                info["init_object_ids"] = ids
+                info["init_bbox"] = OrderedDict(zip(ids, new_boxes))
+                for oid, b in zip(ids, new_boxes):
+                    output_boxes[oid] = [b]
+                if not sequence_object_ids:
+                    # first object(s): initialize() instead of track()
+                    # (reference :349-359 via optional_box / first draw)
+                    out = tracker.initialize(
+                        frame, {"init_bbox": info["init_bbox"],
+                                "init_object_ids": ids, "object_ids": ids,
+                                "sequence_object_ids": ids}) or {}
+                    prev_output = OrderedDict(out)
+                    sequence_object_ids.extend(ids)
+                    if interactive:
+                        self._display_generic(cv2, display_name, frame, out, ui)
+                    continue
+                sequence_object_ids.extend(ids)
+
+            if sequence_object_ids:
+                info["sequence_object_ids"] = list(sequence_object_ids)
+                info["object_ids"] = list(sequence_object_ids)
+                out = tracker.track(frame, info)
+                prev_output = OrderedDict(out)
+                for oid, bb in out.get("target_bbox", {}).items():
+                    output_boxes.setdefault(oid, []).append(
+                        [float(v) for v in bb])
+            else:
+                out = {}
+
+            if interactive:
+                key = self._display_generic(cv2, display_name, frame, out, ui)
+                if key == ord("q"):
+                    quit_requested = True
+                elif key == ord("r"):
+                    next_object_id = 1
+                    sequence_object_ids = []
+                    prev_output = OrderedDict()
+                    tracker.initialize(frame, {"object_ids": [],
+                                               "init_object_ids": [],
+                                               "init_bbox": OrderedDict()})
+            if quit_requested:
+                break
+
+        if cap is not None:
+            cap.release()
+        if interactive:
+            cv2.destroyAllWindows()
+        if save_results and videofilepath is not None:
+            import numpy as np
+            base = os.path.splitext(videofilepath)[0]
+            for oid, boxes in output_boxes.items():
+                np.savetxt(f"{base}_{oid}.txt", np.asarray(boxes, float),
+                           delimiter="\t", fmt="%d")
+        return output_boxes
+
+    @staticmethod
+    def _display_generic(cv2, display_name, frame_rgb, out, ui):
+        """Draw boxes/selection and pump the UI; returns the pressed key."""
+        disp = cv2.cvtColor(frame_rgb, cv2.COLOR_RGB2BGR)
+        if ui is not None and ui.mode == "select":
+            cv2.rectangle(disp, ui.get_tl(), ui.get_br(), (255, 0, 0), 2)
+        for oid, bb in (out or {}).get("target_bbox", {}).items():
+            x, y, w, h = [int(v) for v in bb]
+            color = _DISP_COLORS[int(oid) % len(_DISP_COLORS)]
+            cv2.rectangle(disp, (x, y), (x + w, y + h), color, 3)
+            cv2.putText(disp, str(oid), (x, y - 5),
+                        cv2.FONT_HERSHEY_SIMPLEX, 0.6, color, 2)
+        cv2.putText(disp, "Select target(s). 'r' reset | 'q' quit", (10, 25),
+                    cv2.FONT_HERSHEY_COMPLEX_SMALL, 1, (255, 255, 255), 2)
+        cv2.imshow(display_name, disp)
+        return cv2.waitKey(1)
+
+
+_DISP_COLORS = [(39, 127, 255), (0, 255, 0), (0, 0, 255), (255, 0, 0),
+                (255, 255, 0), (255, 0, 255), (0, 255, 255), (128, 128, 128)]
+
+
+class _UIControl:
+    """Mouse-rectangle state machine (reference tracker.py:289-319)."""
+
+    def __init__(self):
+        self.mode = "init"      # init | select
+        self.target_tl = (-1, -1)
+        self.target_br = (-1, -1)
+        self.new_init = False
+
+    def mouse_callback(self, event, x, y, flags, param):
+        import cv2
+        if event == cv2.EVENT_LBUTTONDOWN and self.mode == "init":
+            self.target_tl = (x, y)
+            self.target_br = (x, y)
+            self.mode = "select"
+        elif event == cv2.EVENT_MOUSEMOVE and self.mode == "select":
+            self.target_br = (x, y)
+        elif event == cv2.EVENT_LBUTTONDOWN and self.mode == "select":
+            self.target_br = (x, y)
+            self.mode = "init"
+            self.new_init = True
+
+    def get_tl(self):
+        return self.target_tl if self.target_tl[0] < self.target_br[0] \
+            else self.target_br
+
+    def get_br(self):
+        return self.target_br if self.target_tl[0] < self.target_br[0] \
+            else self.target_tl
+
+    def get_bb(self):
+        tl, br = self.get_tl(), self.get_br()
+        return [min(tl[0], br[0]), min(tl[1], br[1]),
+                abs(br[0] - tl[0]), abs(br[1] - tl[1])]
