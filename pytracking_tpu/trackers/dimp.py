@@ -349,7 +349,10 @@ class DiMPTracker(BaseTracker):
         img_sample_sz = jnp.array(self._img_sample_sz, jnp.float32)
         feat_sz = float(self._feature_sz)
         score_sz = float(self._score_sz)
-        output_sz = score_sz  # = feat_sz + (ksz+1)%2
+        # displacement-mapping grid: score_sz - (ksz+1)%2 = feat_sz — the score
+        # map has one extra row/col for even kernels but its cells still stride
+        # the feature grid (reference dimp.py:232,243)
+        output_sz = score_sz - (p.kernel_size + 1) % 2
 
         state = state.replace(frame_num=state.frame_num + 1)
 
@@ -387,6 +390,16 @@ class DiMPTracker(BaseTracker):
             inside_offset = (p.target_inside_ratio - 0.5) * sz
             return jnp.maximum(jnp.minimum(pos_new, state.image_sz - inside_offset),
                                inside_offset)
+
+        if not p.use_iou_net:
+            # without IoU-Net the crop scale becomes the target scale each found
+            # frame — update_state(new_pos, sample_scales[scale_ind]),
+            # dimp.py:129-130,486-490 — BEFORE the pos clamp uses the new size
+            new_scale = jnp.clip(sample_scale, state.min_scale, state.max_scale)
+            state = state.replace(
+                target_scale=jnp.where(found, new_scale, state.target_scale),
+                target_sz=jnp.where(found, state.base_target_sz * new_scale,
+                                    state.target_sz))
 
         pos_after = jnp.where(found, clamp_pos(new_pos, state.target_sz), state.pos)
         state = state.replace(pos=pos_after)

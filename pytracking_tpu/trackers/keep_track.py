@@ -348,7 +348,8 @@ class KeepTrackTracker(DiMPTracker):
         img_sample_sz = jnp.array(self._img_sample_sz, jnp.float32)
         feat_sz = float(self._feature_sz)
         score_sz = self._score_sz
-        output_sz = float(score_sz)
+        # displacement grid: score_sz - (ksz+1)%2 (reference keep_track.py:306)
+        output_sz = float(score_sz) - (p.kernel_size + 1) % 2
         K = p.max_candidates
 
         state = state.replace(frame_num=state.frame_num + 1)
@@ -587,7 +588,9 @@ class KeepTrackTracker(DiMPTracker):
         p = self.params
         img_sample_sz = jnp.array(self._img_sample_sz, jnp.float32)
         score_sz = float(self._score_sz)
-        output_sz = score_sz
+        # reference keep_track.py:306-309: displacement maps through
+        # score_sz - (ksz+1)%2 cells, center stays (score_sz-1)/2
+        output_sz = score_sz - (p.kernel_size + 1) % 2
         score_center = (score_sz - 1) / 2
 
         disp_from_grid = (sel_coord - score_center) * \

@@ -101,7 +101,9 @@ class KYSTracker(DiMPTracker):
         img_sample_sz = jnp.array(self._img_sample_sz, jnp.float32)
         feat_sz = float(self._feature_sz)
         score_sz = float(self._score_sz)
-        output_sz = score_sz
+        # reference kys.py:671 sets output_sz = feature_sz (the (ksz+1)%2 term is
+        # commented out there): displacement cells stride the feature grid
+        output_sz = feat_sz
 
         state = state.replace(frame_num=state.frame_num + 1)
 
