@@ -38,6 +38,7 @@ class TaMOsParams:
     search_area_scale: float = 5.0
     sample_memory_size: int = 2
     learning_rate: float = 0.01
+    hard_negative_learning_rate: float = 0.02
     init_samples_minimum_weight: float = 0.25
     update_classifier: bool = True
     conf_ths: float = 0.85
@@ -51,6 +52,8 @@ class TaMOsParams:
     hard_negative_threshold: float = 0.5
     target_neighborhood_scale: float = 1.5
     displacement_scale: float = 0.8
+    uncertain_threshold: float = -float("inf")
+    hard_sample_threshold: float = -float("inf")
 
     @property
     def image_sample_size(self) -> Tuple[int, int]:
@@ -60,6 +63,7 @@ class TaMOsParams:
 
 class TaMOsState(struct.PyTreeNode):
     pos: jnp.ndarray                 # (K, 2) (y, x) per object, image coords
+    pos_prev: jnp.ndarray            # (K, 2) previous-frame positions (tamos.py:189)
     target_sz: jnp.ndarray           # (K, 2)
     obj_valid: jnp.ndarray           # (K,) bool
     image_sz: jnp.ndarray            # (2,)
@@ -279,7 +283,8 @@ class TaMOsTracker(BaseTracker):
         mem_boxes = jnp.zeros((M, K, 4)).at[0].set(sample_boxes)
         mem_weights = jnp.zeros((M,)).at[0].set(1.0)
 
-        return TaMOsState(pos=pos, target_sz=target_sz, obj_valid=valid,
+        return TaMOsState(pos=pos, pos_prev=pos, target_sz=target_sz,
+                          obj_valid=valid,
                           image_sz=image_sz, sigma=sigma,
                           mem_samples=mem_samples, mem_labels=mem_labels,
                           mem_boxes=mem_boxes, mem_weights=mem_weights,
@@ -330,9 +335,12 @@ class TaMOsTracker(BaseTracker):
         stride2 = Hs // h2
 
         # per-object localization + direct box regression, vmapped over K
-        def per_object(score_k, ltrb_k, pos_k, sz_k):
-            flag, loc, max_score = self._localize_one(score_k, pos_k, sz_k,
-                                                      (h2, w2), stride2)
+        cell_px = stride2 / sfac  # image px per score cell (tamos.py:372)
+
+        def per_object(score_k, ltrb_k, pos_k, pos_prev_k, sz_k):
+            flag, loc, max_score = self._localize_one(score_k, pos_k,
+                                                      pos_prev_k, sz_k,
+                                                      (h2, w2), cell_px)
             lv = ltrb_k[loc[0], loc[1]] * jnp.array([Ws, Hs, Ws, Hs])
             xc = loc[1].astype(jnp.float32) * stride2 + stride2 / 2
             yc = loc[0].astype(jnp.float32) * stride2 + stride2 / 2
@@ -354,9 +362,12 @@ class TaMOsTracker(BaseTracker):
         scores_k = scores.transpose(2, 0, 1)                     # (K, h2, w2)
         ltrb_k = ltrb.transpose(2, 0, 1, 3)                      # (K, h2, w2, 4)
         new_pos, new_sz, flags, max_scores = jax.vmap(per_object)(
-            scores_k, ltrb_k, state.pos, state.target_sz)
+            scores_k, ltrb_k, state.pos, state.pos_prev, state.target_sz)
 
+        # pos_prev follows the old pos only on found frames (tamos.py:188-191)
+        moved = state.obj_valid & (flags != FLAG_NOT_FOUND)
         state = state.replace(
+            pos_prev=jnp.where(moved[:, None], state.pos, state.pos_prev),
             pos=jnp.where(state.obj_valid[:, None], new_pos, state.pos),
             target_sz=jnp.where(state.obj_valid[:, None], new_sz, state.target_sz),
             flag=flags, max_score=max_scores)
@@ -367,6 +378,13 @@ class TaMOsTracker(BaseTracker):
                                            (flags != FLAG_UNCERTAIN) &
                                            (max_scores > p.conf_ths))
         do_update = per_obj_ok.all() & p.update_classifier
+        # learning rate follows the LAST valid object's flag — the reference's
+        # per-object loop variable survives into its single update_memory call
+        # (tamos.py:196-197,220)
+        K = state.obj_valid.shape[0]
+        last_obj = (K - 1) - jnp.argmax(state.obj_valid[::-1].astype(jnp.int32))
+        lr = jnp.where(flags[last_obj] == FLAG_HARD_NEG,
+                       p.hard_negative_learning_rate, p.learning_rate)
         centers = (state.pos * sfac) / stride - \
             jnp.array([(h - 1) / 2, (w - 1) / 2])
         labels = self._label_batch(centers, state.sigma, (h, w))
@@ -377,7 +395,7 @@ class TaMOsTracker(BaseTracker):
         sample_boxes = cur_boxes * sfac
         sample_boxes = jnp.where(state.obj_valid[:, None], sample_boxes, 0.0)
         state = self._update_memory(state, test_x[0], labels, sample_boxes,
-                                    do_update)
+                                    lr, do_update)
 
         boxes = jnp.concatenate([state.pos[:, ::-1] - (state.target_sz[:, ::-1] - 1)
                                  / 2, state.target_sz[:, ::-1]], axis=-1)
@@ -392,36 +410,72 @@ class TaMOsTracker(BaseTracker):
                              method=lambda m, f: m.head_feature_extractor(f))
         return out[:, None]
 
-    def _localize_one(self, score, pos, sz, score_shape, stride2):
-        """Advanced localization for one object (reference tamos.py:366-430)."""
+    def _localize_one(self, score, pos, pos_prev, sz, score_shape, cell_px):
+        """Advanced localization for one object (reference tamos.py:366-427,
+        ATOM-style): object-position-relative displacements, integer-rounded
+        neighborhood rectangle, distractor displacement analysis with
+        second-peak recovery. `cell_px` = image px per score cell =
+        (img_support_sz/output_sz)/scale_factor."""
         p = self.params
         h2, w2 = score_shape
+        score_center = pos / cell_px                          # (y, x) cells
+
         max1, disp1 = dcf.max2d(score)
         disp1f = disp1.astype(jnp.float32)
+        target_disp1 = disp1f - score_center
 
-        neigh = p.target_neighborhood_scale * sz / stride2
+        # neighborhood rectangle, rounded and clamped exactly as the reference
+        # (tamos.py:396-401; round() is round-half-even, as jnp.round)
+        neigh = p.target_neighborhood_scale * sz / cell_px
+        top = jnp.clip(jnp.round(disp1f[0] - neigh[0] / 2), 0, h2)
+        bottom = jnp.clip(jnp.round(disp1f[0] + neigh[0] / 2 + 1), 0, h2)
+        left = jnp.clip(jnp.round(disp1f[1] - neigh[1] / 2), 0, w2)
+        right = jnp.clip(jnp.round(disp1f[1] + neigh[1] / 2 + 1), 0, w2)
         iy = jnp.arange(h2, dtype=jnp.float32)[:, None]
         ix = jnp.arange(w2, dtype=jnp.float32)[None, :]
-        in_neigh = ((jnp.abs(iy - disp1f[0]) <= neigh[0] / 2 + 0.5) &
-                    (jnp.abs(ix - disp1f[1]) <= neigh[1] / 2 + 0.5))
+        in_neigh = (iy >= top) & (iy < bottom) & (ix >= left) & (ix < right)
         masked = jnp.where(in_neigh, 0.0, score)
-        max2, _ = dcf.max2d(masked)
+        max2, disp2 = dcf.max2d(masked)
+        disp2f = disp2.astype(jnp.float32)
+        target_disp2 = disp2f - score_center
+
+        prev_target_vec = (pos - pos_prev) / cell_px
+        disp_norm1 = jnp.sqrt(jnp.sum((target_disp1 - prev_target_vec) ** 2))
+        disp_norm2 = jnp.sqrt(jnp.sum((target_disp2 - prev_target_vec) ** 2))
+        disp_threshold = p.displacement_scale * math.sqrt(h2 * w2) / 2
 
         distractor = max2 > p.distractor_threshold * max1
-        hard_neg = (~distractor & (max2 > p.hard_negative_threshold * max1) &
-                    (max2 > p.target_not_found_threshold))
-        flag = jnp.asarray(FLAG_NORMAL)
-        flag = jnp.where(hard_neg, FLAG_HARD_NEG, flag)
-        flag = jnp.where(distractor, FLAG_UNCERTAIN, flag)
-        flag = jnp.where(max1 < p.target_not_found_threshold, FLAG_NOT_FOUND, flag)
-        return flag, disp1, max1
+        hn1 = distractor & (disp_norm2 > disp_threshold) & \
+            (disp_norm1 < disp_threshold)
+        hn2 = distractor & (disp_norm2 < disp_threshold) & \
+            (disp_norm1 > disp_threshold)
+        uncertain_both = distractor & ~hn1 & ~hn2
+        hard_neg_plain = (~distractor &
+                          (max2 > p.hard_negative_threshold * max1) &
+                          (max2 > p.target_not_found_threshold))
 
-    def _update_memory(self, state: TaMOsState, sample, labels, boxes, do_update):
+        flag = jnp.asarray(FLAG_NORMAL)
+        loc = disp1
+        flag = jnp.where(hard_neg_plain, FLAG_HARD_NEG, flag)
+        flag = jnp.where(uncertain_both, FLAG_UNCERTAIN, flag)
+        flag = jnp.where(hn2, FLAG_HARD_NEG, flag)
+        loc = jnp.where(hn2, disp2, loc)
+        flag = jnp.where(hn1, FLAG_HARD_NEG, flag)
+        loc = jnp.where(hn1, disp1, loc)
+        # score-threshold flags dominate (tamos.py:386-391)
+        flag = jnp.where(max1 < p.hard_sample_threshold, FLAG_HARD_NEG, flag)
+        loc = jnp.where(max1 < p.hard_sample_threshold, disp1, loc)
+        flag = jnp.where(max1 < p.uncertain_threshold, FLAG_UNCERTAIN, flag)
+        flag = jnp.where(max1 < p.target_not_found_threshold, FLAG_NOT_FOUND, flag)
+        loc = jnp.where(max1 < p.target_not_found_threshold, disp1, loc)
+        return flag, loc, max1
+
+    def _update_memory(self, state: TaMOsState, sample, labels, boxes, lr,
+                       do_update):
         p = self.params
         M = p.sample_memory_size
         sw = state.mem_weights
         num_stored = state.num_stored
-        lr = p.learning_rate
         init_w = p.init_samples_minimum_weight
 
         idx = jnp.arange(M)
