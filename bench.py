@@ -105,20 +105,33 @@ def main():
     peak_flops = {"TPU v5 lite": 197e12, "TPU v5e": 197e12,
                   "TPU v4": 275e12, "TPU v6 lite": 918e12}.get(
         jax.devices()[0].device_kind, 197e12)
+    # HBM peak for the roofline denominator (v5e: 819 GB/s)
+    peak_hbm = {"TPU v5 lite": 819e9, "TPU v5e": 819e9,
+                "TPU v4": 1228e9, "TPU v6 lite": 1640e9}.get(
+        jax.devices()[0].device_kind, 819e9)
     try:
         cost = single_compiled.cost_analysis()
         if isinstance(cost, list):
             cost = cost[0]
         frame_flops = float(cost.get("flops", 0.0))
+        frame_bytes = float(cost.get("bytes accessed", 0.0))
     except Exception:
         frame_flops = 0.0
+        frame_bytes = 0.0
     mfu = frame_flops * n_steps / elapsed / peak_flops if frame_flops else 0.0
+    # achieved HBM bandwidth: XLA's bytes-accessed cost model over wall time.
+    # Upper bound on true HBM traffic (fusion keeps some of it in VMEM), so the
+    # printed utilization is a CEILING on how bandwidth-bound the step is.
+    hbm_gbps = frame_bytes * n_steps / elapsed / 1e9 if frame_bytes else 0.0
+    hbm_util = 100 * hbm_gbps * 1e9 / peak_hbm
 
     print(f"init {init_time:.1f}s | e2e-with-tunnel-upload {e2e_fps:.2f} fps | "
           f"device step {1000 * elapsed / n_steps:.2f} ms/frame | "
           f"{frame_flops / 1e9:.1f} GFLOP/frame (XLA cost model, all lax.switch "
           f"branches counted) | MFU {100 * mfu:.1f}% of {peak_flops / 1e12:.0f} "
-          "TF/s bf16 peak",
+          f"TF/s bf16 peak | {frame_bytes / 1e6:.0f} MB/frame -> "
+          f"{hbm_gbps:.0f} GB/s = {hbm_util:.0f}% of {peak_hbm / 1e9:.0f} GB/s "
+          "HBM peak (bytes-accessed model, upper bound)",
           file=sys.stderr)
     # sanity: tracker must still be locked on (synthetic target moves smoothly)
     bbox = np.asarray(tracker.fetch_output(out)["target_bbox"])

@@ -51,7 +51,14 @@ def parameters() -> TrackerSpec:
     # passes) and needs bf16-cast params to avoid pathological per-step casts —
     # default off.
     bf16 = os.environ.get("PYTRACKING_TPU_BF16_BACKBONE", "0") == "1"
-    net = dimpnet50(backbone_dtype=jnp.bfloat16 if bf16 else None)
+    # PYTRACKING_TPU_BF16=1: end-to-end bf16 — bf16 backbone compute AND all
+    # float32 parameters stored bf16 (backbone + classifier feature extractor +
+    # IoU-Net + meta-optimizer constants), which halves the per-frame weight
+    # HBM traffic everywhere. Modules without an explicit compute dtype promote
+    # bf16 params × f32 activations to f32 compute, so only the weight LOADS
+    # shrink there; the backbone runs fully bf16.
+    bf16_e2e = os.environ.get("PYTRACKING_TPU_BF16", "0") == "1"
+    net = dimpnet50(backbone_dtype=jnp.bfloat16 if (bf16 or bf16_e2e) else None)
     if os.path.isfile(ckpt + ".json"):
         net, variables = load_network(ckpt)
     else:
@@ -61,4 +68,6 @@ def parameters() -> TrackerSpec:
                    jnp.array([[[[100.0, 100.0, 50.0, 50.0]]]]))
         variables = load_or_init_variables(
             net, example, cache_path=os.path.join(env.network_path, "dimp50_init.msgpack"))
+    from pytracking_tpu.utils.loading import maybe_bf16_variables
+    variables = maybe_bf16_variables(variables)
     return TrackerSpec(params=params, net=net, variables=variables)

@@ -16,8 +16,10 @@ def parameters() -> TrackerSpec:
 
     env = env_settings()
     ckpt = os.path.join(env.network_path, "tomp50.msgpack")
-    # optional bf16 backbone compute (same knob as dimp50.py, measured there)
-    bf16 = os.environ.get("PYTRACKING_TPU_BF16_BACKBONE", "0") == "1"
+    # optional bf16 backbone compute (same knob as dimp50.py, measured there);
+    # PYTRACKING_TPU_BF16=1 additionally stores all f32 params as bf16
+    bf16 = os.environ.get("PYTRACKING_TPU_BF16_BACKBONE", "0") == "1" or \
+        os.environ.get("PYTRACKING_TPU_BF16", "0") == "1"
     net = tompnet50(feature_sz=params.train_feature_size,
                     backbone_dtype=jnp.bfloat16 if bf16 else None)
     if os.path.isfile(ckpt + ".json"):
@@ -30,4 +32,6 @@ def parameters() -> TrackerSpec:
         variables = load_or_init_variables(
             net, example, cache_path=os.path.join(env.network_path,
                                                   "tomp50_init.msgpack"))
+    from pytracking_tpu.utils.loading import maybe_bf16_variables
+    variables = maybe_bf16_variables(variables)
     return TrackerSpec(params=params, net=net, variables=variables)

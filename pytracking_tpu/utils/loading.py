@@ -105,3 +105,18 @@ def load_or_init_variables(net, example_inputs, cache_path: Optional[str] = None
             f.write(serialization.to_bytes(variables))
         os.replace(tmp, cache_path)
     return variables
+
+
+def maybe_bf16_variables(variables):
+    """End-to-end bf16 opt-in (PYTRACKING_TPU_BF16=1): store every float32
+    parameter/stat as bfloat16, halving the per-frame weight HBM traffic across
+    backbone, heads, and meta-optimizer constants. Modules with an explicit
+    bf16 compute dtype then run fully bf16; the rest promote bf16 params with
+    f32 activations to f32 compute (weight loads still halved). Combine with
+    PYTRACKING_TPU_BF16_BACKBONE semantics by setting the net's backbone_dtype
+    where the parameter file builds the model."""
+    if os.environ.get("PYTRACKING_TPU_BF16", "0") != "1":
+        return variables
+    return jax.tree_util.tree_map(
+        lambda x: x.astype(jnp.bfloat16)
+        if hasattr(x, "dtype") and x.dtype == jnp.float32 else x, variables)
