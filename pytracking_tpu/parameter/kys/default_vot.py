@@ -14,6 +14,8 @@ def parameters() -> TrackerSpec:
         sample_memory_size=250, learning_rate=0.0075,
         init_samples_minimum_weight=0.0, train_skipping=10,
         net_opt_iter=25, net_opt_update_iter=3, net_opt_hn_iter=3,
+        # reference default_vot.py:55-57: dimp-score hard-negative mining
+        perform_hn_mining_dimp=True, target_neighborhood_scale_safe=2.2,
     )
     return TrackerSpec(params=p, net=spec.net, variables=spec.variables,
                        tracker_kwargs=spec.tracker_kwargs)

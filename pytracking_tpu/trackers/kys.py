@@ -25,8 +25,9 @@ from pytracking_tpu.ops import dcf
 from pytracking_tpu.ops.patch import sample_patch
 from pytracking_tpu.models.kys.response_predictor import shift_features
 from pytracking_tpu.trackers.dimp import (DiMPParams, DiMPState, DiMPTracker,
-                                          FLAG_NOT_FOUND, FLAG_HARD_NEG,
-                                          FLAG_UNCERTAIN, _get_iounet_box)
+                                          FLAG_NORMAL, FLAG_NOT_FOUND,
+                                          FLAG_HARD_NEG, FLAG_UNCERTAIN,
+                                          _get_iounet_box)
 from flax import struct
 
 
@@ -43,6 +44,10 @@ class KYSParams(DiMPParams):
     move_feat_to_center: bool = True
     remove_offset_in_fused_score: bool = True
     output_sigma_factor: float = 1 / 4
+    # hard-negative mining on the dimp score (reference kys.py:349-353,384-409;
+    # enabled by the default_vot parameters)
+    perform_hn_mining_dimp: bool = False
+    target_neighborhood_scale_safe: float = 2.2
 
 
 class KYSState(DiMPState):
@@ -138,11 +143,12 @@ class KYSTracker(DiMPTracker):
             state.prev_label, window)
         fused = jax.nn.relu(fused)[0, :, :, 0]
 
-        # localization on the fused response (reference kys.py:322-380); thresholds are
+        # localization on the fused response (reference kys.py:322-409); thresholds are
         # on the sigmoid-scale fused score
-        scores_for_loc = jnp.pad(fused, ((0, int(score_sz) - h), (0, int(score_sz) - w)))
+        dimp_win = (dimp_score * window if window is not None else dimp_score)[0, :, :, 0]
         translation_vec, flag, max_score = self._localize_fused(
-            state, scores_for_loc, sample_pos, sample_scale, output_sz, img_sample_sz)
+            state, fused, dimp_win, dimp_score[0, :, :, 0],
+            sample_pos, sample_scale, output_sz, img_sample_sz)
         new_pos = sample_pos + translation_vec
 
         found = flag != FLAG_NOT_FOUND
@@ -194,14 +200,51 @@ class KYSTracker(DiMPTracker):
             out["score_map"] = fused
         return state, out
 
-    def _localize_fused(self, state, scores, sample_pos, sample_scale, output_sz,
-                        img_sample_sz):
-        """Advanced localization with the fused-score threshold
-        (reference kys.py:322-430)."""
-        return self._localize(state, scores, sample_pos, sample_scale, output_sz,
-                              img_sample_sz,
-                              not_found_threshold=self.params
-                              .target_not_found_threshold_fused)
+    def _localize_fused(self, state, fused, dimp_win, dimp_raw, sample_pos,
+                        sample_scale, output_sz, img_sample_sz):
+        """Fused-score localization (reference kys.py:322-409
+        localize_target/compute_target_location): a plain max with the fused
+        not-found threshold — the fused path NEVER emits `uncertain` and only
+        emits `hard_negative` through the optional dimp-score hn mining. When
+        the fused and dimp peaks differ by exactly one cell, the dimp peak wins
+        (remove_offset_in_fused_score, kys.py:369-374) to avoid propagation
+        drift."""
+        p = self.params
+        sz = fused.shape
+        max1, disp1 = dcf.max2d(fused)
+        disp1 = disp1.astype(jnp.float32)
+        if p.remove_offset_in_fused_score:
+            _, disp_d = dcf.max2d(dimp_win)
+            disp_d = disp_d.astype(jnp.float32)
+            snap = jnp.max(jnp.abs(disp1 - disp_d)) == 1.0
+            disp1 = jnp.where(snap, disp_d, disp1)
+
+        score_center = jnp.floor_divide(jnp.asarray(output_sz, jnp.float32), 2.0)
+        translation_vec = (disp1 - score_center) * \
+            (img_sample_sz / output_sz) * sample_scale
+
+        not_found = max1 < p.target_not_found_threshold_fused
+        flag = jnp.where(not_found, FLAG_NOT_FOUND, FLAG_NORMAL)
+
+        if p.perform_hn_mining_dimp:
+            # hard negatives from the (unwindowed) dimp score at the fused peak
+            # (reference kys.py:384-409; integer-rounded rectangle mask)
+            di = disp1.astype(jnp.int32)
+            s1 = dimp_raw[di[0], di[1]]
+            neigh = p.target_neighborhood_scale_safe * \
+                jnp.sqrt(jnp.prod(state.target_sz)) / sample_scale * \
+                (output_sz / img_sample_sz)
+            top = jnp.clip(jnp.round(disp1[0] - neigh[0] / 2), 0, sz[0])
+            bottom = jnp.clip(jnp.round(disp1[0] + neigh[0] / 2 + 1), 0, sz[0])
+            left = jnp.clip(jnp.round(disp1[1] - neigh[1] / 2), 0, sz[1])
+            right = jnp.clip(jnp.round(disp1[1] + neigh[1] / 2 + 1), 0, sz[1])
+            iy = jnp.arange(sz[0], dtype=jnp.float32)[:, None]
+            ix = jnp.arange(sz[1], dtype=jnp.float32)[None, :]
+            in_neigh = (iy >= top) & (iy < bottom) & (ix >= left) & (ix < right)
+            max2, _ = dcf.max2d(jnp.where(in_neigh, 0.0, dimp_raw))
+            hn = (max2 > p.hard_negative_threshold * s1) & (max2 > 0.1) & ~not_found
+            flag = jnp.where(hn, FLAG_HARD_NEG, flag)
+        return translation_vec, flag, max1
 
 
 def get_tracker_class():

@@ -103,3 +103,22 @@ def test_tracker_pause_step_handler():
     trk._visdom_ui_handler({"event_type": "KeyPress", "key": " "})
     assert trk.pause_mode is False
     trk.wait_if_paused()          # returns immediately when not paused
+
+
+def test_maybe_bf16_variables_casts_only_f32(monkeypatch):
+    import jax.numpy as jnp
+
+    from pytracking_tpu.utils.loading import maybe_bf16_variables
+
+    tree = {"params": {"w": jnp.ones((2, 2), jnp.float32)},
+            "batch_stats": {"mean": jnp.zeros((2,), jnp.float32)},
+            "counter": jnp.asarray(3, jnp.int32)}
+    monkeypatch.delenv("PYTRACKING_TPU_BF16", raising=False)
+    same = maybe_bf16_variables(tree)
+    assert same["params"]["w"].dtype == jnp.float32
+
+    monkeypatch.setenv("PYTRACKING_TPU_BF16", "1")
+    cast = maybe_bf16_variables(tree)
+    assert cast["params"]["w"].dtype == jnp.bfloat16
+    assert cast["batch_stats"]["mean"].dtype == jnp.bfloat16
+    assert cast["counter"].dtype == jnp.int32
