@@ -42,7 +42,8 @@ from pytracking_tpu.ops import dcf, fourier, solvers
 from pytracking_tpu.ops.activation import mlu
 from pytracking_tpu.ops.patch import sample_patch
 from pytracking_tpu.trackers.dimp import (FLAG_HARD_NEG, FLAG_NORMAL, FLAG_NOT_FOUND,
-                                          FLAG_UNCERTAIN, FLAG_NAMES, _get_iounet_box)
+                                          FLAG_UNCERTAIN, FLAG_NAMES, _get_iounet_box,
+                                          _masked_slot_set)
 from pytracking_tpu.trackers.base import BaseTracker
 
 
@@ -726,10 +727,9 @@ class ATOMTracker(BaseTracker):
             sw_new = jnp.where(need, sw_adj, sw_new)
 
         return state.replace(
-            mem_samples=jnp.where(do_update,
-                                  state.mem_samples.at[r_ind].set(sample),
-                                  state.mem_samples),
-            mem_y=jnp.where(do_update, state.mem_y.at[r_ind].set(y), state.mem_y),
+            mem_samples=_masked_slot_set(state.mem_samples, r_ind, sample,
+                                         do_update),
+            mem_y=_masked_slot_set(state.mem_y, r_ind, y, do_update),
             mem_weights=jnp.where(do_update, sw_new, state.mem_weights),
             num_stored=jnp.where(do_update, jnp.minimum(num_stored + 1, M),
                                  num_stored),

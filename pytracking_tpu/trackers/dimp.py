@@ -141,6 +141,16 @@ class DiMPState(struct.PyTreeNode):
     max_score: jnp.ndarray           # () f32
 
 
+def _masked_slot_set(buf, ind, value, do_update):
+    """`buf.at[ind].set(value)` gated by a traced predicate, at SLICE
+    granularity: a full-buffer `jnp.where(do_update, buf.at[ind].set(v), buf)`
+    reads and rewrites every slot (tens of MB of HBM traffic per frame for the
+    sample memories); selecting only the target slot touches 1/M of that. When
+    the predicate is False the slot is rewritten with its own contents."""
+    slot = jnp.where(do_update, value, buf[ind])
+    return buf.at[ind].set(slot)
+
+
 def _get_iounet_box(pos, sz, sample_pos, sample_scale, img_sample_sz):
     """Image-coord target -> (x, y, w, h) box in the patch frame
     (reference dimp.py:498-504)."""
@@ -451,12 +461,13 @@ class DiMPTracker(BaseTracker):
 
         window = self._output_window()
         scores_hn = scores
-        if window is not None:
-            if p.perform_hn_without_windowing:
-                scores = scores * window
-            else:
-                scores = scores * window
-                scores_hn = scores
+        if window is not None and p.perform_hn_without_windowing:
+            # reference dimp.py:246-249: in ADVANCED localization the output
+            # window applies ONLY in this mode — primary peak on windowed
+            # scores, distractor analysis on the raw scores. With
+            # perform_hn_without_windowing=False the reference builds the
+            # window but never multiplies it in this path.
+            scores = scores * window
 
         max_score1, max_disp1 = dcf.max2d(scores)
         max_disp1 = max_disp1.astype(jnp.float32)
@@ -641,12 +652,11 @@ class DiMPTracker(BaseTracker):
                                sw_new * scale)
             sw_new = jnp.where(need, sw_adj, sw_new)
 
-        mem_samples = state.mem_samples.at[r_ind].set(sample)
-        mem_boxes = state.mem_boxes.at[r_ind].set(target_box)
-
         return state.replace(
-            mem_samples=jnp.where(do_update, mem_samples, state.mem_samples),
-            mem_boxes=jnp.where(do_update, mem_boxes, state.mem_boxes),
+            mem_samples=_masked_slot_set(state.mem_samples, r_ind, sample,
+                                         do_update),
+            mem_boxes=_masked_slot_set(state.mem_boxes, r_ind, target_box,
+                                       do_update),
             mem_weights=jnp.where(do_update, sw_new, state.mem_weights),
             num_stored=jnp.where(do_update,
                                  jnp.minimum(num_stored + 1, M), num_stored),

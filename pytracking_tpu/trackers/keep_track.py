@@ -34,7 +34,7 @@ from pytracking_tpu.ops.patch import sample_patch
 from pytracking_tpu.trackers.dimp import (DiMPParams, DiMPState, DiMPTracker,
                                           FLAG_HARD_NEG, FLAG_NAMES, FLAG_NORMAL,
                                           FLAG_NOT_FOUND, FLAG_UNCERTAIN,
-                                          _get_iounet_box)
+                                          _get_iounet_box, _masked_slot_set)
 
 
 @dataclass(frozen=True)
@@ -719,15 +719,14 @@ class KeepTrackTracker(DiMPTracker):
                                sw_new * scale)
             sw_new = jnp.where(need, sw_adj, sw_new)
 
-        mem_samples = state.mem_samples.at[r_ind].set(sample)
-        mem_boxes = state.mem_boxes.at[r_ind].set(target_box)
-        mem_cert = state.mem_certainties.at[r_ind].set(cert_store)
-
         return state.replace(
-            mem_samples=jnp.where(do_update, mem_samples, state.mem_samples),
-            mem_boxes=jnp.where(do_update, mem_boxes, state.mem_boxes),
+            mem_samples=_masked_slot_set(state.mem_samples, r_ind, sample,
+                                         do_update),
+            mem_boxes=_masked_slot_set(state.mem_boxes, r_ind, target_box,
+                                       do_update),
             mem_weights=jnp.where(do_update, sw_new, state.mem_weights),
-            mem_certainties=jnp.where(do_update, mem_cert, state.mem_certainties),
+            mem_certainties=_masked_slot_set(state.mem_certainties, r_ind,
+                                             cert_store, do_update),
             num_stored=jnp.where(do_update,
                                  jnp.minimum(num_stored + 1, M), num_stored),
             prev_ind=jnp.where(do_update, r_ind, state.prev_ind))

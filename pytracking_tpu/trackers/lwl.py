@@ -33,6 +33,7 @@ from flax import struct
 
 from pytracking_tpu.ops.patch import sample_patch
 from pytracking_tpu.trackers.base import BaseTracker
+from pytracking_tpu.trackers.dimp import _masked_slot_set
 
 
 @dataclass(frozen=True)
@@ -402,10 +403,9 @@ class LWLTracker(BaseTracker):
             sw_new = jnp.where(need, sw_adj, sw_new)
 
         return state.replace(
-            mem_samples=jnp.where(do_update, state.mem_samples.at[r_ind].set(sample),
-                                  state.mem_samples),
-            mem_masks=jnp.where(do_update, state.mem_masks.at[r_ind].set(mask),
-                                state.mem_masks),
+            mem_samples=_masked_slot_set(state.mem_samples, r_ind, sample,
+                                         do_update),
+            mem_masks=_masked_slot_set(state.mem_masks, r_ind, mask, do_update),
             mem_weights=jnp.where(do_update, sw_new, state.mem_weights),
             num_stored=jnp.where(do_update, jnp.minimum(num_stored + 1, M), num_stored),
             prev_ind=jnp.where(do_update, r_ind, state.prev_ind))

@@ -29,7 +29,7 @@ from jax import lax
 
 from pytracking_tpu.ops import dcf
 from pytracking_tpu.ops.patch import sample_patch
-from pytracking_tpu.trackers.dimp import _get_iounet_box
+from pytracking_tpu.trackers.dimp import _get_iounet_box, _masked_slot_set
 from pytracking_tpu.trackers.lwl import LWLParams, LWLState, LWLTracker
 
 
@@ -432,15 +432,12 @@ class RTSTracker(LWLTracker):
             sw_new = jnp.where(need, sw_adj, sw_new)
 
         return state.replace(
-            clf_mem_samples=jnp.where(do_update,
-                                      state.clf_mem_samples.at[r_ind].set(sample),
-                                      state.clf_mem_samples),
-            clf_mem_boxes=jnp.where(do_update,
-                                    state.clf_mem_boxes.at[r_ind].set(target_box),
-                                    state.clf_mem_boxes),
-            clf_mem_labels=jnp.where(do_update,
-                                     state.clf_mem_labels.at[r_ind].set(label),
-                                     state.clf_mem_labels),
+            clf_mem_samples=_masked_slot_set(state.clf_mem_samples, r_ind,
+                                             sample, do_update),
+            clf_mem_boxes=_masked_slot_set(state.clf_mem_boxes, r_ind,
+                                           target_box, do_update),
+            clf_mem_labels=_masked_slot_set(state.clf_mem_labels, r_ind,
+                                            label, do_update),
             clf_mem_weights=jnp.where(do_update, sw_new, state.clf_mem_weights),
             clf_num_stored=jnp.where(do_update, jnp.minimum(num_stored + 1, M),
                                      num_stored),

@@ -27,7 +27,8 @@ from flax import struct
 from pytracking_tpu.ops import dcf
 from pytracking_tpu.trackers.base import BaseTracker
 from pytracking_tpu.trackers.dimp import (FLAG_HARD_NEG, FLAG_NAMES, FLAG_NORMAL,
-                                          FLAG_NOT_FOUND, FLAG_UNCERTAIN)
+                                          FLAG_NOT_FOUND, FLAG_UNCERTAIN,
+                                          _masked_slot_set)
 
 
 @dataclass(frozen=True)
@@ -497,12 +498,12 @@ class TaMOsTracker(BaseTracker):
             sw_new = jnp.where(need, sw_adj, sw_new)
 
         return state.replace(
-            mem_samples=jnp.where(do_update, state.mem_samples.at[r_ind].set(sample),
-                                  state.mem_samples),
-            mem_labels=jnp.where(do_update, state.mem_labels.at[r_ind].set(labels),
-                                 state.mem_labels),
-            mem_boxes=jnp.where(do_update, state.mem_boxes.at[r_ind].set(boxes),
-                                state.mem_boxes),
+            mem_samples=_masked_slot_set(state.mem_samples, r_ind, sample,
+                                         do_update),
+            mem_labels=_masked_slot_set(state.mem_labels, r_ind, labels,
+                                        do_update),
+            mem_boxes=_masked_slot_set(state.mem_boxes, r_ind, boxes,
+                                       do_update),
             mem_weights=jnp.where(do_update, sw_new, state.mem_weights),
             num_stored=jnp.where(do_update, jnp.minimum(num_stored + 1, M),
                                  num_stored),

@@ -30,7 +30,7 @@ from pytracking_tpu.ops.patch import sample_patch
 from pytracking_tpu.trackers.base import BaseTracker
 from pytracking_tpu.trackers.dimp import (FLAG_HARD_NEG, FLAG_NAMES, FLAG_NORMAL,
                                           FLAG_NOT_FOUND, FLAG_UNCERTAIN,
-                                          _get_iounet_box)
+                                          _get_iounet_box, _masked_slot_set)
 
 
 @dataclass(frozen=True)
@@ -450,12 +450,12 @@ class ToMPTracker(BaseTracker):
             sw_new = jnp.where(need, sw_adj, sw_new)
 
         return state.replace(
-            mem_samples=jnp.where(do_update, state.mem_samples.at[r_ind].set(sample),
-                                  state.mem_samples),
-            mem_labels=jnp.where(do_update, state.mem_labels.at[r_ind].set(label),
-                                 state.mem_labels),
-            mem_boxes=jnp.where(do_update, state.mem_boxes.at[r_ind].set(target_box),
-                                state.mem_boxes),
+            mem_samples=_masked_slot_set(state.mem_samples, r_ind, sample,
+                                         do_update),
+            mem_labels=_masked_slot_set(state.mem_labels, r_ind, label,
+                                        do_update),
+            mem_boxes=_masked_slot_set(state.mem_boxes, r_ind, target_box,
+                                       do_update),
             mem_weights=jnp.where(do_update, sw_new, state.mem_weights),
             num_stored=jnp.where(do_update, jnp.minimum(num_stored + 1, M), num_stored),
             prev_ind=jnp.where(do_update, r_ind, state.prev_ind))
