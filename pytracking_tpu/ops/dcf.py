@@ -32,6 +32,20 @@ def hann2d(sz: Tuple[int, int]) -> jnp.ndarray:
     return hann1d(sz[0])[:, None] * hann1d(sz[1])[None, :]
 
 
+def hann1d_uncentered(sz: int) -> jnp.ndarray:
+    """Wrap-around 1D cosine window with its peak at index 0 — the reference's
+    `hann1d(sz, centered=False)` (dcf.py:12-13), used on ATOM/ECO's
+    wrap-around Fourier-interpolated score grids."""
+    w = 0.5 * (1.0 + jnp.cos((2.0 * math.pi / (sz + 2)) *
+                             jnp.arange(0, sz // 2 + 1, dtype=jnp.float32)))
+    return jnp.concatenate([w, w[1:sz - sz // 2][::-1]])
+
+
+def hann2d_uncentered(sz: Tuple[int, int]) -> jnp.ndarray:
+    """2D wrap-around Hann window (reference dcf.py:16-19, centered=False)."""
+    return hann1d_uncentered(sz[0])[:, None] * hann1d_uncentered(sz[1])[None, :]
+
+
 def hann2d_clipped(sz: Tuple[int, int], effective_sz: Tuple[int, int]) -> jnp.ndarray:
     """2D Hann window of `effective_sz` centered then padded (edge-replicate) or
     center-cropped to `sz` — flat outside the effective region when effective < sz, a

@@ -14,6 +14,8 @@ def parameters() -> TrackerSpec:
         max_image_sample_size=(14 * 16) ** 2,
         min_image_sample_size=(14 * 16) ** 2,
         search_area_scale=4.0,
+        # reference parameter/atom/default_vot.py:50: window the output scores
+        window_output=True,
     )
     return TrackerSpec(params=p, net=spec.net, variables=spec.variables,
                        tracker_kwargs=spec.tracker_kwargs)

@@ -85,6 +85,7 @@ class ATOMParams:
     scale_factors: Tuple[float, ...] = (1.0,)
     score_upsample_factor: int = 1
     window_output: bool = False
+    perform_hn_without_windowing: bool = False
     border_mode: str = "replicate"
     patch_max_scale_change: Optional[float] = None
     # init augmentation
@@ -481,8 +482,20 @@ class ATOMTracker(BaseTracker):
         sf = fourier.shift_fs(sf, shift)
         scores = jnp.real(fourier.sample_fs(sf, (out_sz, out_sz)))  # (S, out, out)
 
+        # output windowing on the wrap-around grid (reference atom.py:91-96,
+        # 315-316, 346-352,369-370): the primary peak is ALWAYS found on the
+        # windowed scores; the second-peak (distractor) search runs on the raw
+        # scores when perform_hn_without_windowing, else on the windowed ones
+        scores_hn = scores
+        if p.window_output:
+            win = dcf.hann2d_uncentered((out_sz, out_sz))[None]
+            scores = scores * win
+            if not p.perform_hn_without_windowing:
+                scores_hn = scores
+
         (translation_vec, scale_ind, flag,
-         max_score) = self._localize(state, scores, scale_factors, out_sz, support)
+         max_score) = self._localize(state, scores, scale_factors, out_sz, support,
+                                     scores_hn=scores_hn)
         new_pos = sample_pos + translation_vec
 
         found = flag != FLAG_NOT_FOUND
@@ -544,10 +557,14 @@ class ATOMTracker(BaseTracker):
 
     # ---------------------------------------------------------------- localization
 
-    def _localize(self, state: ATOMState, scores, scale_factors, out_sz, support):
+    def _localize(self, state: ATOMState, scores, scale_factors, out_sz, support,
+                  scores_hn=None):
         """Advanced localization on the wrap-around upsampled score grid
-        (reference atom.py:330-430)."""
+        (reference atom.py:330-430). `scores_hn` is the map the second-peak
+        search masks (the raw scores under perform_hn_without_windowing)."""
         p = self.params
+        if scores_hn is None:
+            scores_hn = scores
         disp_to_img = support[0] / out_sz  # image px per score cell (per unit scale)
 
         max_score1, max_disp1 = dcf.max2d(scores)        # (S,), (S, 2)
@@ -561,7 +578,7 @@ class ATOMTracker(BaseTracker):
         if not p.advanced_localization:
             return translation_vec1, scale_ind, jnp.asarray(FLAG_NORMAL), max_score_s
 
-        sc = scores[scale_ind]
+        sc = scores_hn[scale_ind]
         # neighborhood mask with wrap-around distance
         target_neigh_sz = p.target_neighborhood_scale * state.target_sz / sample_scale \
             * (out_sz / support)

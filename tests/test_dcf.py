@@ -49,3 +49,22 @@ def test_cubic_spline_fourier_dc():
     bf = dcf.cubic_spline_fourier(f, -0.75)
     assert float(bf[0]) == 1.0
     assert np.all(np.isfinite(np.asarray(bf)))
+
+
+def test_hann2d_uncentered_matches_reference():
+    import os
+
+    import pytest
+
+    torch = pytest.importorskip("torch")
+    if not os.path.isdir("/root/reference"):
+        pytest.skip("reference checkout not available")
+    import tests.refshim  # noqa: F401
+    from pytracking.libs import dcf as ref_dcf
+
+    from pytracking_tpu.ops import dcf
+
+    for sz in (18, 19, 288):
+        ref = ref_dcf.hann2d(torch.tensor([sz, sz]), centered=False).numpy().squeeze()
+        mine = np.asarray(dcf.hann2d_uncentered((sz, sz)))
+        np.testing.assert_allclose(mine, ref, atol=1e-6)

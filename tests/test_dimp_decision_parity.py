@@ -341,3 +341,163 @@ def test_kys_fused_decision_paths_match_reference():
                                        ref.sample_weights[0].numpy(), atol=1e-6)
 
     assert set(flags_seen) == {"normal", "hard_negative", "not_found"}
+
+
+# -------------------------------------------------------------------------- ATOM
+
+ASZ = 18            # ATOM raw response grid (feature cells)
+AC = 8.5            # effective center after the even-kernel pi phase shift
+AOUT = 288          # Fourier-upsampled score grid
+
+
+def _atom_script():
+    """(expected_flag, raw 18x18 response) per frame, designed for the
+    INTERPOLATED 288-grid decision thresholds: not_found 0.25, distractor 0.8,
+    hard-negative 0.5, displacement 0.8*288/2 = 115.2 grid = 7.2 raw cells from
+    the grid center, neighborhood half-width ~4 raw cells. The reference flags
+    'normal' as None (atom.py:406)."""
+    c = AC
+    return [
+        ("normal", _blob18([(c + 1, c + 1, 1.0)])),
+        # distant second peak at 0.6 (plain hard-negative branch)
+        ("hard_negative", _blob18([(c + 1, c, 1.0), (c - 6, c - 6, 0.6)])),
+        # two comparable peaks BOTH >7.2 cells from center -> uncertain
+        ("uncertain", _blob18([(c + 7.6, c + 3, 1.0), (c - 7.6, c - 3, 0.9)])),
+        # main far, distractor near center -> hard_negative taking peak 2
+        ("hard_negative", _blob18([(c + 7.6, c + 5, 1.0), (c - 1, c, 0.85)])),
+        ("not_found", _blob18([(c, c, 0.1)])),
+        # recovery on the train_skipping cadence -> CG refit both sides
+        ("normal", _blob18([(c - 1, c - 1, 0.9)])),
+    ]
+
+
+def _blob18(peaks):
+    y, x = np.mgrid[0:ASZ, 0:ASZ].astype(np.float64)
+    m = np.zeros((ASZ, ASZ))
+    for r, c, a in peaks:
+        m = np.maximum(m, a * np.exp(-0.5 * ((y - r) ** 2 + (x - c) ** 2)))
+    return m.astype(np.float32)
+
+
+def test_atom_decision_paths_match_reference(monkeypatch):
+    """ATOM tracking-regime decision parity (reference atom.py:341-406) with
+    IDENTICAL scripted RAW filter responses on both sides — the Fourier
+    interpolation (cfft2 + pi phase shift + sample_fs), wrap-around argmax,
+    neighborhood masking, displacement analysis, memory bookkeeping, and the
+    periodic CG refit all run for real."""
+    import ltr.models.bbreg.atom as ref_atom
+
+    import pytracking.features.deep as ref_deep
+    from pytracking.features.extractor import MultiResolutionExtractor
+    from pytracking.tracker.atom import ATOM
+    from pytracking.utils.params import FeatureParams, TrackerParams
+
+    import pytracking_tpu.trackers.atom as my_atom_mod
+    from pytracking_tpu.models.tracking.atomnet import atom_resnet18
+    from pytracking_tpu.trackers.atom import ATOMParams, ATOMTracker
+    from tests.test_tracker_trace_parity import _MY_AUG, _REF_AUG
+
+    torch.manual_seed(0)
+    ref_net = ref_atom.atom_resnet18(backbone_pretrained=False)
+    ref_net.eval()
+    randomize_bn_stats(ref_net)
+    variables = pw.port_atomnet(
+        {k: v.numpy() for k, v in ref_net.state_dict().items()})
+
+    script = _atom_script()
+    frames, init_bbox = _frames(len(script) + 1)
+
+    ref_deep.load_network = lambda path: ref_net
+
+    deep_params = TrackerParams()
+    for k, v in dict(learning_rate=0.01, init_samples_minimum_weight=0.25,
+                     output_sigma_factor=1 / 4, kernel_size=(4, 4),
+                     compressed_dim=64, filter_reg=1e-1, projection_reg=1e-4,
+                     use_augmentation=True).items():
+        setattr(deep_params, k, v)
+
+    p = TrackerParams()
+    for k, v in dict(
+            debug=0, visualization=False, use_gpu=False, device="cpu",
+            max_image_sample_size=(18 * 16) ** 2,
+            min_image_sample_size=(18 * 16) ** 2, search_area_scale=5,
+            feature_size_odd=False, CG_iter=5, init_CG_iter=60, init_GN_iter=6,
+            post_init_CG_iter=0, fletcher_reeves=False, standard_alpha=True,
+            CG_forgetting_rate=None, sample_memory_size=250,
+            train_skipping=TRAIN_SKIPPING,
+            feature_window=False, window_output=False,
+            scale_factors=torch.ones(1), score_upsample_factor=1,
+            augmentation=_REF_AUG, augmentation_expansion_factor=2,
+            random_shift_factor=0, update_projection_matrix=True,
+            proj_init_method="pca", filter_init_method="zeros",
+            projection_activation="none", response_activation=("mlu", 0.05),
+            advanced_localization=True, target_not_found_threshold=0.25,
+            distractor_threshold=0.8, hard_negative_threshold=0.5,
+            target_neighborhood_scale=2.2, dispalcement_scale=0.8,
+            hard_negative_learning_rate=0.02, hard_negative_CG_iter=5,
+            update_scale_when_uncertain=True, use_iou_net=False,
+            iounet_augmentation=False, iounet_k=3, num_init_random_boxes=0,
+            box_jitter_pos=0.1, box_jitter_sz=0.5, maximal_aspect_ratio=6,
+            box_refinement_iter=5, box_refinement_step_length=1,
+            box_refinement_step_decay=1).items():
+        setattr(p, k, v)
+    p.features = MultiResolutionExtractor([ref_deep.ATOMResNet18(
+        net_path="unused", output_layers=["layer3"], use_gpu=False,
+        fparams=FeatureParams(feature_params=[deep_params]),
+        normalize_power=2)])
+
+    ref = ATOM(p)
+    ref.visdom = None
+    ref.initialize(frames[0], {"init_bbox": list(init_bbox)})
+
+    current = {"map": None}
+
+    from pytracking.libs.tensorlist import TensorList as RefTL
+    ref.apply_filter = lambda x: RefTL(
+        [torch.from_numpy(current["map"]).reshape(1, 1, ASZ, ASZ)])
+
+    params = ATOMParams(
+        proj_init_method="pca", filter_init_method="zeros",
+        augmentation=_MY_AUG, random_shift_factor=0.0, num_init_random_boxes=0,
+        use_iou_net=False, train_skipping=TRAIN_SKIPPING)
+    mine = ATOMTracker(params, atom_resnet18(), variables)
+
+    # shape-aware seam: only the single-sample TRACK response is scripted; the
+    # init joint optimization and the periodic CG refit over the memory batch
+    # keep the real correlation (matching the reference, whose apply_filter is
+    # only on the track path)
+    _real_conv = my_atom_mod._conv_same
+
+    def _scripted_conv(x, w):
+        if x.shape[0] == 1 and current["map"] is not None:
+            return jnp.asarray(current["map"]).reshape(1, ASZ, ASZ, 1)
+        return _real_conv(x, w)
+
+    with jax.disable_jit():
+        mine.initialize(frames[0], {"init_bbox": list(init_bbox)})
+        monkeypatch.setattr(my_atom_mod, "_conv_same", _scripted_conv)
+
+        flags_seen = []
+        for i, (expected_flag, raw_map) in enumerate(script):
+            current["map"] = raw_map
+            ref_out = ref.track(frames[i + 1])
+            my_out = mine.track(frames[i + 1])
+
+            ref_flag = ref.debug_info["flag"] or "normal"   # None == normal
+            assert my_out["flag"] == ref_flag == expected_flag, \
+                f"frame {i + 1}: mine={my_out['flag']} ref={ref_flag} " \
+                f"expected={expected_flag}"
+            flags_seen.append(ref_flag)
+
+            np.testing.assert_allclose(
+                np.asarray(my_out["target_bbox"], np.float64),
+                np.asarray(ref_out["target_bbox"], np.float64), atol=2.0)
+
+            assert int(mine.state.num_stored) == int(ref.num_stored_samples[0])
+            n = int(ref.num_stored_samples[0])
+            np.testing.assert_allclose(np.asarray(mine.state.mem_weights[:n]),
+                                       ref.sample_weights[0][:n].numpy(),
+                                       atol=1e-6)
+
+    assert set(flags_seen) == {"normal", "hard_negative", "uncertain",
+                               "not_found"}
