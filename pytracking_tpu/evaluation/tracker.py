@@ -157,7 +157,8 @@ class Tracker:
     def run_video_generic(self, videofilepath: Optional[str] = None,
                           optional_box=None, debug: int = 0, visdom_info=None,
                           save_results: bool = False, frame_source=None,
-                          event_source=None, display: Optional[bool] = None):
+                          event_source=None, display: Optional[bool] = None,
+                          camera_id: int = 0):
         """Interactive MULTI-object video/webcam loop (reference
         tracker.py:260-446 run_video_generic): mouse-drawn boxes add new objects
         at ANY frame through MultiObjectWrapper; already-tracked objects keep
@@ -187,7 +188,7 @@ class Tracker:
             import cv2  # noqa: F811  (real UI / video decode path)
         if frame_source is None:
             cap = cv2.VideoCapture(videofilepath if videofilepath is not None
-                                   else 0)
+                                   else camera_id)
 
             def _frames():
                 while True:

@@ -11,15 +11,15 @@ import argparse
 
 def run_video(tracker_name: str, tracker_param: str, videofile: str,
               optional_box=None, debug: int = 0, save_results: bool = False):
+    """Interactive MULTI-object video tracking through run_video_generic
+    (reference run_video.py:10-22): draw boxes with the mouse to add targets
+    at any frame; 'r' resets, 'q' quits."""
     from pytracking_tpu.evaluation.tracker import Tracker
 
     tracker = Tracker(tracker_name, tracker_param)
-    results = tracker.run_video(videofilepath=videofile, optional_box=optional_box,
-                                debug=debug)
-    if save_results:
-        import numpy as np
-        np.savetxt(videofile + ".txt", np.array(results), delimiter="\t", fmt="%d")
-    return results
+    return tracker.run_video_generic(videofilepath=videofile,
+                                     optional_box=optional_box, debug=debug,
+                                     save_results=save_results)
 
 
 def main():

@@ -10,59 +10,14 @@ import argparse
 
 def run_webcam(tracker_name: str, tracker_param: str, camera_id: int = 0,
                debug: int = 0):
-    import cv2
-    import numpy as np
-
-    from pytracking_tpu.evaluation.multi_object_wrapper import MultiObjectWrapper
+    """Interactive MULTI-object webcam tracking through run_video_generic
+    (reference run_webcam.py:10-20): mouse-drawn rectangles add targets at any
+    frame; 'r' resets, 'q' quits."""
     from pytracking_tpu.evaluation.tracker import Tracker
 
-    wrapper = Tracker(tracker_name, tracker_param)
-    spec = wrapper.get_parameters()
-    multi = MultiObjectWrapper(wrapper.tracker_class, spec.params, spec.net,
-                               spec.variables)
-
-    cap = cv2.VideoCapture(camera_id)
-    next_id = 1
-    initialized = False
-    display_name = "pytracking_tpu webcam"
-    cv2.namedWindow(display_name, cv2.WINDOW_NORMAL)
-
-    while True:
-        ret, frame = cap.read()
-        if not ret:
-            break
-        frame_rgb = cv2.cvtColor(frame, cv2.COLOR_BGR2RGB)
-        vis = frame.copy()
-
-        key = cv2.waitKey(1)
-        if key == ord("q"):
-            break
-        if key == ord("r"):
-            initialized = False
-        if key == ord(" "):  # draw a new target box
-            box = cv2.selectROI(display_name, frame, False)
-            oid = str(next_id)
-            next_id += 1
-            info = {"object_ids": [oid], "init_bbox": {oid: list(box)}}
-            if not initialized:
-                multi.initialize(frame_rgb, info)
-                initialized = True
-            else:
-                multi.track(frame_rgb, info)
-            continue
-
-        if initialized:
-            out = multi.track(frame_rgb)
-            for oid, bb in out["target_bbox"].items():
-                x, y, w, h = [int(v) for v in bb]
-                cv2.rectangle(vis, (x, y), (x + w, y + h), (0, 255, 0), 2)
-                cv2.putText(vis, str(oid), (x, y - 5), cv2.FONT_HERSHEY_SIMPLEX,
-                            0.6, (0, 255, 0), 2)
-        cv2.putText(vis, "space: add target, r: reset, q: quit", (10, 20),
-                    cv2.FONT_HERSHEY_SIMPLEX, 0.5, (255, 255, 255), 1)
-        cv2.imshow(display_name, vis)
-    cap.release()
-    cv2.destroyAllWindows()
+    tracker = Tracker(tracker_name, tracker_param)
+    return tracker.run_video_generic(videofilepath=None, debug=debug,
+                                     camera_id=camera_id)
 
 
 def main():

@@ -249,18 +249,20 @@ class RTSTracker(LWLTracker):
                                                 p.clf_net_opt_iter)
 
         M = p.clf_sample_memory_size
-        clf_mem = jnp.zeros((M,) + clf_xs.shape[1:]).at[:T].set(clf_xs)
-        clf_boxes = jnp.zeros((M, 4)).at[:T].set(boxes)
-        clf_labels = jnp.zeros((M,) + init_label.shape).at[:T].set(
-            jnp.broadcast_to(init_label[None], (T,) + init_label.shape))
-        clf_w = jnp.zeros((M,)).at[:T].set(1.0 / T)
+        Tm = min(T, M)   # memory smaller than the augmentation set: keep the
+        # first M samples (identity first, like the reference's slice fill)
+        clf_mem = jnp.zeros((M,) + clf_xs.shape[1:]).at[:Tm].set(clf_xs[:Tm])
+        clf_boxes = jnp.zeros((M, 4)).at[:Tm].set(boxes[:Tm])
+        clf_labels = jnp.zeros((M,) + init_label.shape).at[:Tm].set(
+            jnp.broadcast_to(init_label[None], (Tm,) + init_label.shape))
+        clf_w = jnp.zeros((M,)).at[:Tm].set(1.0 / T)
 
         base = {f: getattr(state, f) for f in LWLState.__dataclass_fields__}
         return RTSState(
             **base,
             clf_filter=clf_filter, clf_mem_samples=clf_mem, clf_mem_boxes=clf_boxes,
             clf_mem_labels=clf_labels, clf_sigma=clf_sigma,
-            clf_mem_weights=clf_w, clf_num_stored=jnp.asarray(T, jnp.int32),
+            clf_mem_weights=clf_w, clf_num_stored=jnp.asarray(Tm, jnp.int32),
             clf_prev_ind=jnp.asarray(-1, jnp.int32),
             scale_history=jnp.full((p.scale_history_size,), state.target_scale),
             scale_hist_len=jnp.asarray(1, jnp.int32),
