@@ -47,7 +47,14 @@ class BatchedTrackerServer:
         boxes = server.track(frame_batch)       # (B, H, W, 3) -> (B, 4)
     """
 
-    def __init__(self, tracker_cls, params, net, variables, **tracker_kwargs):
+    def __init__(self, tracker_cls, params, net, variables, mesh=None,
+                 **tracker_kwargs):
+        """mesh: optional jax.sharding.Mesh with a 'data' axis — the stream
+        (batch) axis of the states and frame batches is sharded across it and
+        the vmapped step runs SPMD over the mesh with NO collectives (streams
+        are independent); variables are replicated. B must be divisible by the
+        mesh's 'data' size. This is the multi-chip serving scale-out: the same
+        server drives 8x the streams on an 8-chip pod slice."""
         if getattr(tracker_cls, "supports_deferred_classifier_update", False) \
                 and hasattr(params, "defer_classifier_update"):
             params = dataclasses.replace(params, defer_classifier_update=True)
@@ -56,6 +63,16 @@ class BatchedTrackerServer:
             self._deferred = False
         self.tracker = tracker_cls(params, net, variables, **tracker_kwargs)
         self.params = params
+        self.mesh = mesh
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec
+
+            self._shard_streams = NamedSharding(mesh, PartitionSpec("data"))
+            self._replicated = NamedSharding(mesh, PartitionSpec())
+            # variables replicated on every mesh device (they arrive committed
+            # to device 0 from the tracker constructor)
+            self.tracker.variables = jax.device_put(self.tracker.variables,
+                                                    self._replicated)
 
         tracker = self.tracker
 
@@ -92,13 +109,20 @@ class BatchedTrackerServer:
             self.tracker.initialize(frame, {"init_bbox": list(bbox)})
             states.append(self.tracker.state)
         self.states = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *states)
+        if self.mesh is not None:
+            # commit the stream axis to the mesh; jit then compiles the step
+            # SPMD ("computation follows sharding") — one program, all chips
+            self.states = jax.device_put(self.states, self._shard_streams)
         self._frame_num = 1
 
     def track(self, frame_batch) -> np.ndarray:
         """frame_batch (B, H, W, 3) -> bboxes (B, 4) [x, y, w, h]."""
         self._frame_num += 1
+        frame_batch = jnp.asarray(frame_batch)
+        if self.mesh is not None:
+            frame_batch = jax.device_put(frame_batch, self._shard_streams)
         self.states, out = self._jit_step(self.tracker.variables, self.states,
-                                          jnp.asarray(frame_batch))
+                                          frame_batch)
         if self._needs_update_tick():
             self.states = self._jit_update(self.tracker.variables, self.states)
         return np.asarray(out["target_bbox"])
@@ -109,9 +133,16 @@ class BatchedTrackerServer:
         per-iteration predicate (scan carries the frame counter, the predicate
         is traced per-step but scalar, so only the taken branch executes)."""
         run = self._scan_runner()
+        frame_batches = jnp.asarray(frame_batches)
+        if self.mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec
+
+            frame_batches = jax.device_put(
+                frame_batches, NamedSharding(self.mesh,
+                                             PartitionSpec(None, "data")))
         (self.states, n), boxes = run(self.tracker.variables, self.states,
                                       jnp.asarray(self._frame_num, jnp.int32),
-                                      jnp.asarray(frame_batches))
+                                      frame_batches)
         self._frame_num = int(n)
         return boxes
 

@@ -108,3 +108,37 @@ def test_non_deferring_tracker_falls_back(net_and_variables):
     server.initialize([make_frame(50, 50)], [[40, 40, 20, 20]])
     boxes = server.track(np.stack([make_frame(52, 51)]))
     assert boxes.shape == (1, 4) and np.isfinite(boxes).all()
+
+
+@pytest.mark.filterwarnings("ignore")
+def test_mesh_sharded_server_matches_single_device(net_and_variables):
+    """Multi-chip serving scale-out: the stream axis sharded over an 8-device
+    'data' mesh must produce the same boxes as the single-device server (the
+    streams are independent, so the SPMD program has no collectives), and the
+    sharded states must actually live distributed across the mesh."""
+    from jax.sharding import Mesh
+
+    net, variables = net_and_variables
+    B, T = 8, 4
+    centers = [(40 + 4 * b, 40 + 3 * b) for b in range(B)]
+
+    def frames_at(t):
+        return np.stack([make_frame(cy + 2 * t, cx + t) for cy, cx in centers])
+
+    s_ref = BatchedTrackerServer(DiMPTracker, _params(), net, variables)
+    s_ref.initialize([make_frame(cy, cx) for cy, cx in centers],
+                     [[cx - 10, cy - 10, 20, 20] for cy, cx in centers])
+    ref_boxes = np.stack([s_ref.track(frames_at(t)) for t in range(T)])
+
+    devices = np.array(jax.devices()[:8])
+    with Mesh(devices, ("data",)) as mesh:
+        s = BatchedTrackerServer(DiMPTracker, _params(), net, variables,
+                                 mesh=mesh)
+        s.initialize([make_frame(cy, cx) for cy, cx in centers],
+                     [[cx - 10, cy - 10, 20, 20] for cy, cx in centers])
+        # the stream axis is genuinely distributed
+        leaf = jax.tree_util.tree_leaves(s.states)[0]
+        assert len(leaf.sharding.device_set) == 8, leaf.sharding
+        mesh_boxes = np.stack([s.track(frames_at(t)) for t in range(T)])
+
+    np.testing.assert_allclose(mesh_boxes, ref_boxes, rtol=1e-4, atol=5e-2)
