@@ -82,14 +82,19 @@ def measure_jit_track(name, module, tracker_cls, n=40, frame_hw=(480, 640)):
 
 
 def measure_keep_track(n=30):
-    """Two device dispatches + host association: quantify each."""
+    """Default (device_association=True): ONE fused dispatch — measure it like
+    the other scan trackers. Pass the host-association variant explicitly to
+    quantify the split path's two dispatches + host sync."""
     import jax
     import jax.numpy as jnp
 
     spec = _spec("keep_track.default")
     from pytracking_tpu.trackers.keep_track import KeepTrackTracker
-    tracker = KeepTrackTracker(spec.params, spec.net, spec.variables,
-                               **(spec.tracker_kwargs or {}))
+    kw = dict(spec.tracker_kwargs or {})
+    if kw.get("device_association", True):
+        return measure_jit_track("keep_track", "keep_track.default",
+                                 KeepTrackTracker, n=n)
+    tracker = KeepTrackTracker(spec.params, spec.net, spec.variables, **kw)
     rng = np.random.default_rng(0)
     frame = _synth_frame(rng)
     tracker.initialize(frame, {"init_bbox": [200.0, 150.0, 120.0, 160.0]})
