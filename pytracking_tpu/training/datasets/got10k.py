@@ -12,8 +12,14 @@ from pytracking_tpu.training.datasets.base import BaseVideoDataset
 from pytracking_tpu.training.datasets.lasot import _read_image
 
 
+_SPLIT_FILES = {"train": "got10k_train_split.txt",
+                "val": "got10k_val_split.txt",
+                "vottrain": "got10k_vot_train_split.txt",
+                "votval": "got10k_vot_val_split.txt"}
+
+
 class Got10k(BaseVideoDataset):
-    def __init__(self, root: str, split: Optional[str] = None):
+    def __init__(self, root: str, split: Optional[str] = None, seq_ids=None):
         super().__init__("got10k", root)
         list_file = os.path.join(root, "list.txt")
         if os.path.isfile(list_file):
@@ -22,6 +28,17 @@ class Got10k(BaseVideoDataset):
         else:
             self.sequence_list = sorted(
                 d for d in os.listdir(root) if os.path.isdir(os.path.join(root, d)))
+        # split files hold integer indices into list.txt (reference
+        # got10k.py:46-62; files from ltr/data_specs, see data_specs.py)
+        if split is not None:
+            if seq_ids is not None:
+                raise ValueError("Cannot set both split and seq_ids.")
+            if split not in _SPLIT_FILES:
+                raise ValueError(f"Unknown split name {split!r}.")
+            from pytracking_tpu.training.datasets.data_specs import load_int_spec
+            seq_ids = load_int_spec(_SPLIT_FILES[split], root)
+        if seq_ids is not None:
+            self.sequence_list = [self.sequence_list[i] for i in seq_ids]
 
     def has_occlusion_info(self):
         return True

@@ -26,6 +26,16 @@ class Lasot(BaseVideoDataset):
         self.sequence_list = self._build_sequence_list(split, vid_ids)
 
     def _build_sequence_list(self, split, vid_ids):
+        if split is not None:
+            if vid_ids is not None:
+                raise ValueError("Cannot set both split and vid_ids.")
+            if split != "train":
+                raise ValueError(f"Unknown split name {split!r}.")
+            # the protocol-II train split is a list of 'class-id' names
+            # (reference lasot.py:52-60, ltr/data_specs/lasot_train_split.txt)
+            from pytracking_tpu.training.datasets.data_specs import load_str_spec
+            names = load_str_spec("lasot_train_split.txt", self.root)
+            return [os.path.join(n.split("-")[0], n) for n in names]
         seqs = []
         for cls in sorted(os.listdir(self.root)):
             cls_dir = os.path.join(self.root, cls)

@@ -175,3 +175,66 @@ def test_coco_mot_seq(tmp_path):
     assert info["num_tracks"] == 2
     frames, anno, _ = ds.get_frames(0, [0])
     assert set(anno["bbox"][0].keys()) == {"0", "1"}
+
+
+def _write_got10k_tree(root, n=4):
+    import numpy as np
+    names = []
+    for i in range(n):
+        name = f"GOT-10k_Train_{i:06d}"
+        d = os.path.join(root, name)
+        os.makedirs(d, exist_ok=True)
+        np.savetxt(os.path.join(d, "groundtruth.txt"),
+                   np.tile([10.0, 10.0, 20.0, 20.0], (3, 1)), delimiter=",")
+        names.append(name)
+    with open(os.path.join(root, "list.txt"), "w") as f:
+        f.write("\n".join(names) + "\n")
+    return names
+
+
+def test_got10k_split_files(tmp_path, monkeypatch):
+    """Reference-format data-spec splits (ltr/dataset/got10k.py:46-62): the
+    split file holds integer indices into list.txt."""
+    from pytracking_tpu.training.datasets.got10k import Got10k
+
+    root = str(tmp_path / "got10k")
+    names = _write_got10k_tree(root, n=4)
+    specs = tmp_path / "specs"
+    specs.mkdir()
+    (specs / "got10k_vot_train_split.txt").write_text("2\n0\n")
+    monkeypatch.setenv("PYTRACKING_TPU_DATA_SPECS_PATH", str(specs))
+
+    ds = Got10k(root, split="vottrain")
+    assert ds.sequence_list == [names[2], names[0]]
+    ds_ids = Got10k(root, seq_ids=[1, 3])
+    assert ds_ids.sequence_list == [names[1], names[3]]
+    with pytest.raises(ValueError):
+        Got10k(root, split="vottrain", seq_ids=[0])
+    # missing spec -> actionable error naming the searched directories
+    monkeypatch.delenv("PYTRACKING_TPU_DATA_SPECS_PATH")
+    with pytest.raises(FileNotFoundError, match="data_specs"):
+        Got10k(root, split="val")
+
+
+def test_lasot_train_split_file(tmp_path, monkeypatch):
+    """LaSOT protocol-II train split: 'class-id' names resolved to class
+    subdirectories (reference lasot.py:52-60)."""
+    import numpy as np
+
+    from pytracking_tpu.training.datasets.lasot import Lasot
+
+    root = tmp_path / "lasot"
+    for name in ("airplane-1", "airplane-2", "bird-1"):
+        cls = name.split("-")[0]
+        d = root / cls / name / "img"
+        d.mkdir(parents=True)
+        np.savetxt(str(root / cls / name / "groundtruth.txt"),
+                   np.tile([5.0, 5.0, 10.0, 10.0], (2, 1)), delimiter=",")
+    specs = tmp_path / "specs"
+    specs.mkdir()
+    (specs / "lasot_train_split.txt").write_text("airplane-2\nbird-1\n")
+    monkeypatch.setenv("PYTRACKING_TPU_DATA_SPECS_PATH", str(specs))
+
+    ds = Lasot(str(root), split="train")
+    assert ds.sequence_list == [os.path.join("airplane", "airplane-2"),
+                                os.path.join("bird", "bird-1")]
