@@ -56,11 +56,17 @@ def measure_jit_track(name, module, tracker_cls, n=40, frame_hw=(480, 640)):
         [jnp.asarray(_synth_frame(rng, *frame_hw)) for _ in range(n)]))
     jax.block_until_ready(frames)
 
+    # ATOM's step carries a per-sequence static sample size as a kw-only arg
+    import functools
+    impl = tracker._track_impl
+    if hasattr(tracker, "_sample_sz"):
+        impl = functools.partial(impl, sample_sz=tracker._sample_sz)
+
     def scan_fn(variables, st, fs):
         prev = tracker.variables
         tracker.variables = variables
         try:
-            return jax.lax.scan(tracker._track_impl, st, fs)
+            return jax.lax.scan(impl, st, fs)
         finally:
             tracker.variables = prev
 
@@ -192,6 +198,9 @@ def main():
             measure_jit_track("prdimp50", "dimp.prdimp50", DiMPTracker)
         elif t == "dimp50":
             measure_jit_track("dimp50", "dimp.dimp50", DiMPTracker)
+        elif t == "atom":
+            from pytracking_tpu.trackers.atom import ATOMTracker
+            measure_jit_track("atom", "atom.default", ATOMTracker)
         elif t == "tomp101":
             measure_jit_track("tomp101", "tomp.tomp101", ToMPTracker)
         elif t == "tomp50":
