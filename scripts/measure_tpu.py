@@ -186,6 +186,102 @@ def measure_rts(n=20):
     return ms
 
 
+def measure_eco(n=40):
+    """ECO: one jitted step carrying host-built Fourier constants; scan over a
+    device-resident frame stack (pure device time)."""
+    import functools
+
+    import jax
+    import jax.numpy as jnp
+
+    spec = _spec("eco.default")
+    from pytracking_tpu.trackers.eco import ECOTracker
+    tracker = ECOTracker(spec.params, spec.net, spec.variables)
+    rng = np.random.default_rng(0)
+    frame = _synth_frame(rng)
+    tracker.initialize(frame, {"init_bbox": [200.0, 150.0, 120.0, 160.0]})
+    tracker.track(frame)
+
+    frames = jax.device_put(jnp.stack(
+        [jnp.asarray(_synth_frame(rng)) for _ in range(n)]))
+    yfs, regw = tracker._static["yfs"], tracker._static["reg_windows"]
+    impl = functools.partial(tracker._track_impl, sample_sz=tracker._sample_sz,
+                             feat_szs=tuple(tracker._feat_szs),
+                             filt_szs=tuple(tracker._filt_szs))
+
+    def scan_fn(variables, st, fs, yfs_, regw_):
+        # the Fourier constants flow through jit ARGUMENTS — closing over the
+        # device-resident complex arrays fails constant lowering on this backend
+        prev = tracker.variables
+        tracker.variables = variables
+        try:
+            return jax.lax.scan(lambda c, f: impl(c, f, yfs_, regw_), st, fs)
+        finally:
+            tracker.variables = prev
+
+    step = jax.jit(scan_fn)
+    state, outs = step(tracker.variables, tracker.state, frames, yfs, regw)
+    jax.block_until_ready(outs["target_bbox"])
+    best = None
+    for _ in range(3):
+        t0 = time.perf_counter()
+        state, outs = step(tracker.variables, state, frames, yfs, regw)
+        jax.block_until_ready(outs["target_bbox"])
+        dt = time.perf_counter() - t0
+        best = dt if best is None else min(best, dt)
+    ms = 1000 * best / n
+    print(f"{'eco':14s} device step {ms:7.2f} ms/frame  ({1000 / ms:7.1f} FPS)")
+    return ms
+
+
+def measure_lwl(n=20):
+    """LWL: the step carries the previous probability map (device-resident) —
+    scan threads it through the carry like the harness's single-object mode."""
+    import jax
+    import jax.numpy as jnp
+
+    spec = _spec("lwl.lwl_ytvos")
+    from pytracking_tpu.trackers.lwl import LWLTracker
+    tracker = LWLTracker(spec.params, spec.net, spec.variables)
+    rng = np.random.default_rng(0)
+    frame = _synth_frame(rng)
+    mask = np.zeros((480, 640), np.float32)
+    mask[150:310, 200:320] = 1.0
+    tracker.initialize(frame, {"init_bbox": [200.0, 150.0, 120.0, 160.0],
+                               "init_mask": mask})
+    tracker.track(frame)
+
+    frames = jax.device_put(jnp.stack(
+        [jnp.asarray(_synth_frame(rng)) for _ in range(n)]))
+
+    def scan_fn(variables, carry, fs):
+        prev = tracker.variables
+        tracker.variables = variables
+        try:
+            def body(c, f):
+                st, prob = c
+                st, out = tracker._track_impl(st, f, prob)
+                return (st, st.seg_raw), out["target_bbox"]
+            return jax.lax.scan(body, carry, fs)
+        finally:
+            tracker.variables = prev
+
+    step = jax.jit(scan_fn)
+    carry = (tracker.state, tracker.state.seg_raw)
+    carry, boxes = step(tracker.variables, carry, frames)
+    jax.block_until_ready(boxes)
+    best = None
+    for _ in range(3):
+        t0 = time.perf_counter()
+        carry, boxes = step(tracker.variables, carry, frames)
+        jax.block_until_ready(boxes)
+        dt = time.perf_counter() - t0
+        best = dt if best is None else min(best, dt)
+    ms = 1000 * best / n
+    print(f"{'lwl':14s} device step {ms:7.2f} ms/frame  ({1000 / ms:7.1f} FPS)")
+    return ms
+
+
 def main():
     targets = sys.argv[1:] or ["prdimp50", "tomp101", "tamos_swin", "keep_track",
                                "rts"]
@@ -219,6 +315,10 @@ def main():
                               lambda p, n, v, **k: KeepTrackTracker(p, n, v, **kw))
         elif t == "rts":
             measure_rts()
+        elif t == "eco":
+            measure_eco()
+        elif t == "lwl":
+            measure_lwl()
         else:
             print(f"unknown tracker {t}", file=sys.stderr)
 
