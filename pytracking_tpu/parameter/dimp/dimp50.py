@@ -58,9 +58,12 @@ def parameters() -> TrackerSpec:
     # bf16 params × f32 activations to f32 compute, so only the weight LOADS
     # shrink there; the backbone runs fully bf16.
     bf16_e2e = os.environ.get("PYTRACKING_TPU_BF16", "0") == "1"
-    net = dimpnet50(backbone_dtype=jnp.bfloat16 if (bf16 or bf16_e2e) else None)
+    backbone_dtype = jnp.bfloat16 if (bf16 or bf16_e2e) else None
+    net = dimpnet50(backbone_dtype=backbone_dtype)
     if os.path.isfile(ckpt + ".json"):
-        net, variables = load_network(ckpt)
+        # pass the dtype through so checkpoint deployments keep bf16 backbone
+        # compute (load_network rebuilds the net from stored constructor kwargs)
+        net, variables = load_network(ckpt, backbone_dtype=backbone_dtype)
     else:
         s = params.image_sample_size
         example = (jnp.zeros((1, 1, s, s, 3)), jnp.zeros((1, 1, s, s, 3)),

@@ -14,6 +14,9 @@ def parameters() -> TrackerSpec:
         sample_memory_size=250, learning_rate=0.0075,
         init_samples_minimum_weight=0.0, train_skipping=10,
         net_opt_iter=25, net_opt_update_iter=3, net_opt_hn_iter=3,
+        # reference default_vot.py:44: tighter clipped output window than the
+        # dataclass default 10.0 (which would be essentially flat at scale 4)
+        effective_search_area=4.0,
         # reference default_vot.py:55-57: dimp-score hard-negative mining
         perform_hn_mining_dimp=True, target_neighborhood_scale_safe=2.2,
     )

@@ -20,10 +20,11 @@ def parameters() -> TrackerSpec:
     # PYTRACKING_TPU_BF16=1 additionally stores all f32 params as bf16
     bf16 = os.environ.get("PYTRACKING_TPU_BF16_BACKBONE", "0") == "1" or \
         os.environ.get("PYTRACKING_TPU_BF16", "0") == "1"
+    backbone_dtype = jnp.bfloat16 if bf16 else None
     net = tompnet50(feature_sz=params.train_feature_size,
-                    backbone_dtype=jnp.bfloat16 if bf16 else None)
+                    backbone_dtype=backbone_dtype)
     if os.path.isfile(ckpt + ".json"):
-        net, variables = load_network(ckpt)
+        net, variables = load_network(ckpt, backbone_dtype=backbone_dtype)
     else:
         s = params.image_sample_size
         f = params.train_feature_size

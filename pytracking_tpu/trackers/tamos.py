@@ -467,6 +467,9 @@ class TaMOsTracker(BaseTracker):
         flag = jnp.where(max1 < p.hard_sample_threshold, FLAG_HARD_NEG, flag)
         loc = jnp.where(max1 < p.hard_sample_threshold, disp1, loc)
         flag = jnp.where(max1 < p.uncertain_threshold, FLAG_UNCERTAIN, flag)
+        # reference tamos.py:388-389 early-returns max_disp1 here, so an
+        # uncertain score also discards any hn2-selected distractor peak
+        loc = jnp.where(max1 < p.uncertain_threshold, disp1, loc)
         flag = jnp.where(max1 < p.target_not_found_threshold, FLAG_NOT_FOUND, flag)
         loc = jnp.where(max1 < p.target_not_found_threshold, disp1, loc)
         return flag, loc, max1
