@@ -15,10 +15,12 @@ from pytracking_tpu.evaluation.data import BaseDataset, Sequence, SequenceList
 
 
 class GOT10KDataset(BaseDataset):
-    def __init__(self, split: str = "test"):
+    def __init__(self, split: str = "test", vos_mode: bool = False):
         super().__init__()
         self.split = "val" if split == "ltrval" else split
         self.base_path = os.path.join(self.env_settings.got10k_path, self.split)
+        self.vos_mode = vos_mode
+        self.mask_path = self.env_settings.got10k_mask_path if vos_mode else None
 
     def get_sequence_list(self) -> SequenceList:
         list_file = os.path.join(self.base_path, "list.txt")
@@ -34,5 +36,13 @@ class GOT10KDataset(BaseDataset):
             gt = np.atleast_2d(load_text(os.path.join(seq_dir, "groundtruth.txt")))
             frames = sorted(os.path.join(seq_dir, fn) for fn in os.listdir(seq_dir)
                             if fn.endswith(".jpg"))
-            seqs.append(Sequence(name, frames, "got10k", gt))
+            masks = None
+            if self.vos_mode:
+                # reference got10kdataset.py:50-55: first-frame mask only
+                from pytracking_tpu.evaluation.adapters.lasot import \
+                    load_first_frame_mask
+                first = os.path.splitext(os.path.basename(frames[0]))[0]
+                masks = [load_first_frame_mask(self.mask_path, name, first)]
+            seqs.append(Sequence(name, frames, "got10k", gt,
+                                 ground_truth_seg=masks))
         return SequenceList(seqs)

@@ -65,6 +65,11 @@ class Sequence:
             init_bbox = rect[0] if rect.ndim == 2 else rect
             init_bbox = list(map(float, init_bbox))
         d = {"bbox": init_bbox}
+        # vos-mode SOT datasets carry a first-frame mask in ground_truth_seg
+        # (reference data.py:87-88)
+        if self.ground_truth_seg is not None and len(self.ground_truth_seg) and \
+                self.ground_truth_seg[0] is not None:
+            d["mask"] = self.ground_truth_seg[0]
         if self.object_ids is not None:
             d["object_ids"] = self.object_ids
         return {0: d}
@@ -86,6 +91,10 @@ class Sequence:
         for k, v in raw.items():
             if v is not None:
                 out["init_" + k if not k.startswith("object_ids") else k] = v
+        # a mask stored as a path is read lazily (reference data.py:132-137)
+        if isinstance(out.get("init_mask"), str):
+            from pytracking_tpu.utils.png_io import imread_indexed
+            out["init_mask"] = imread_indexed(out["init_mask"])
         return out
 
     def __len__(self):

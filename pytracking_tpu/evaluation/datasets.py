@@ -26,6 +26,10 @@ dataset_dict = dict(
     nfs=DatasetInfo(module=_BASE % "nfs", class_name="NFSDataset", kwargs={}),
     uav=DatasetInfo(module=_BASE % "uav", class_name="UAVDataset", kwargs={}),
     lasot=DatasetInfo(module=_BASE % "lasot", class_name="LaSOTDataset", kwargs={}),
+    lasot_train=DatasetInfo(module=_BASE % "lasot",
+                            class_name="LaSOTTrainSequencesDataset", kwargs={}),
+    lasotvos=DatasetInfo(module=_BASE % "lasot", class_name="LaSOTDataset",
+                         kwargs={"vos_mode": True}),
     lasot_extension_subset=DatasetInfo(module=_BASE % "lasotextensionsubset",
                                        class_name="LaSOTExtensionSubsetDataset",
                                        kwargs={}),
@@ -35,8 +39,14 @@ dataset_dict = dict(
                            kwargs={"split": "val"}),
     got10k_ltrval=DatasetInfo(module=_BASE % "got10k", class_name="GOT10KDataset",
                               kwargs={"split": "ltrval"}),
+    got10kvos_val=DatasetInfo(module=_BASE % "got10k", class_name="GOT10KDataset",
+                              kwargs={"split": "val", "vos_mode": True}),
     trackingnet=DatasetInfo(module=_BASE % "trackingnet",
                             class_name="TrackingNetDataset", kwargs={}),
+    trackingnetvos=DatasetInfo(module=_BASE % "trackingnet",
+                               class_name="TrackingNetDataset",
+                               kwargs={"vos_mode": True}),
+    vot=DatasetInfo(module=_BASE % "vot", class_name="VOTDataset", kwargs={}),
     vot18=DatasetInfo(module=_BASE % "vot", class_name="VOTDataset", kwargs={}),
     vot22=DatasetInfo(module=_BASE % "vot", class_name="VOTDataset",
                       kwargs={"year": 22}),
@@ -46,8 +56,38 @@ dataset_dict = dict(
                           kwargs={"exclude_otb": True}),
     dv2017_val=DatasetInfo(module=_BASE % "davis", class_name="DavisDataset",
                            kwargs={"version": "2017", "split": "val"}),
+    dv2016_val=DatasetInfo(module=_BASE % "davis", class_name="DavisDataset",
+                           kwargs={"version": "2016", "split": "val"}),
+    dv2017_test_dev=DatasetInfo(module=_BASE % "davis", class_name="DavisDataset",
+                                kwargs={"version": "2017", "split": "test-dev"}),
+    dv2017_test_chal=DatasetInfo(module=_BASE % "davis", class_name="DavisDataset",
+                                 kwargs={"version": "2017",
+                                         "split": "test-challenge"}),
     yt2019_valid=DatasetInfo(module=_BASE % "youtubevos", class_name="YouTubeVOSDataset",
                              kwargs={"version": "2019", "split": "valid"}),
+    yt2019_test=DatasetInfo(module=_BASE % "youtubevos",
+                            class_name="YouTubeVOSDataset",
+                            kwargs={"version": "2019", "split": "test"}),
+    yt2019_valid_all=DatasetInfo(module=_BASE % "youtubevos",
+                                 class_name="YouTubeVOSDataset",
+                                 kwargs={"version": "2019", "split": "valid",
+                                         "all_frames": True}),
+    yt2018_valid_all=DatasetInfo(module=_BASE % "youtubevos",
+                                 class_name="YouTubeVOSDataset",
+                                 kwargs={"version": "2018", "split": "valid",
+                                         "all_frames": True}),
+    yt2018_jjval=DatasetInfo(module=_BASE % "youtubevos",
+                             class_name="YouTubeVOSDataset",
+                             kwargs={"version": "2018", "split": "jjvalid"}),
+    yt2019_jjval=DatasetInfo(module=_BASE % "youtubevos",
+                             class_name="YouTubeVOSDataset",
+                             kwargs={"version": "2019", "split": "jjvalid",
+                                     "cleanup": ["starts"]}),
+    yt2019_jjval_all=DatasetInfo(module=_BASE % "youtubevos",
+                                 class_name="YouTubeVOSDataset",
+                                 kwargs={"version": "2019", "split": "jjvalid",
+                                         "all_frames": True,
+                                         "cleanup": ["starts"]}),
     oxuva_dev=DatasetInfo(module=_BASE % "oxuva", class_name="OxUvADataset",
                           kwargs={"split": "dev"}),
     oxuva_test=DatasetInfo(module=_BASE % "oxuva", class_name="OxUvADataset",
@@ -55,6 +95,8 @@ dataset_dict = dict(
     lagot=DatasetInfo(module=_BASE % "lagot", class_name="LaGOTDataset", kwargs={}),
     lagot_sot=DatasetInfo(module=_BASE % "lagot", class_name="LaGOTDataset",
                           kwargs={"sot_mode": True}),
+    lagot_sot_mode=DatasetInfo(module=_BASE % "lagot", class_name="LaGOTDataset",
+                               kwargs={"sot_mode": True}),
     mobiface_all=DatasetInfo(module=_BASE % "mobiface", class_name="MobifaceDataset",
                              kwargs={"split": "all"}),
     mobiface_train=DatasetInfo(module=_BASE % "mobiface",

@@ -25,9 +25,12 @@ class EnvSettings:
         self.tpl_path = ""
         self.vot_path = ""
         self.got10k_path = ""
+        self.got10k_mask_path = ""
         self.lasot_path = ""
+        self.lasot_mask_path = ""
         self.lasot_extension_subset_path = ""
         self.trackingnet_path = ""
+        self.trackingnet_mask_path = ""
         self.davis_dir = ""
         self.youtubevos_dir = ""
         self.avist_path = ""

@@ -249,3 +249,133 @@ def test_get_dataset_attributes(tmp_path):
     assert "FM" in by_attr
     assert len(by_attr["FM"]) == 1
     asp._cache.clear()
+
+
+def test_registry_covers_reference_names():
+    """Every reference registry name resolves here (VERDICT r3 item 4).
+
+    Reference names parsed from /root/reference/pytracking/evaluation/datasets.py;
+    the only accepted rename is vot -> vot18 (we keep both)."""
+    import re
+    ref_file = "/root/reference/pytracking/evaluation/datasets.py"
+    if not os.path.isfile(ref_file):
+        pytest.skip("reference checkout not available")
+    src = open(ref_file).read()
+    body = src.split("dataset_dict = dict(")[1].split("\n)\n")[0]
+    ref_names = re.findall(r"^\s*(\w+)=DatasetInfo", body, re.M)
+    assert len(ref_names) >= 30
+    from pytracking_tpu.evaluation.datasets import dataset_dict
+    missing = [n for n in ref_names if n not in dataset_dict]
+    assert not missing, f"missing registry entries: {missing}"
+
+
+def test_lasot_vos_mode_and_train_split(tmp_path):
+    from pytracking_tpu.utils.png_io import imwrite_indexed
+
+    root = tmp_path / "lasot"
+    for name in ("cat-1", "cat-2"):
+        seq = root / name
+        for i in range(1, 3):
+            _img(str(seq / "img" / f"{i:08d}.jpg"))
+        np.savetxt(seq / "groundtruth.txt", np.tile([5, 5, 4, 4], (2, 1)),
+                   delimiter=",", fmt="%d")
+    mask_dir = tmp_path / "lasot_masks" / "cat-1"
+    os.makedirs(mask_dir)
+    m = np.zeros((24, 32), np.uint8)
+    m[5:9, 5:9] = 1
+    imwrite_indexed(str(mask_dir / "00000001.png"), m)
+    spec_dir = tmp_path / "specs"
+    os.makedirs(spec_dir)
+    (spec_dir / "lasot_train_split.txt").write_text("cat-2\n")
+    _reset_env(tmp_path, lasot_path=root, lasot_mask_path=tmp_path / "lasot_masks")
+    os.environ["PYTRACKING_TPU_DATA_SPECS_PATH"] = str(spec_dir)
+    try:
+        from pytracking_tpu.evaluation.adapters.lasot import (
+            LaSOTDataset, LaSOTTrainSequencesDataset)
+        seqs = LaSOTDataset(vos_mode=True).get_sequence_list()
+        s1 = [s for s in seqs if s.name == "cat-1"][0]
+        assert s1.ground_truth_seg[0] is not None
+        assert s1.init_info()["init_mask"].sum() == 16
+        train = LaSOTTrainSequencesDataset().get_sequence_list()
+        assert [s.name for s in train] == ["cat-2"]
+    finally:
+        del os.environ["PYTRACKING_TPU_DATA_SPECS_PATH"]
+
+
+def test_got10k_trackingnet_vos_mode(tmp_path):
+    from pytracking_tpu.utils.png_io import imwrite_indexed
+
+    g = tmp_path / "got10k" / "val" / "GOT-10k_Val_000001"
+    for i in range(1, 3):
+        _img(str(g / f"{i:08d}.jpg"))
+    np.savetxt(g / "groundtruth.txt", np.array([[1, 2, 3, 4]]), delimiter=",",
+               fmt="%d")
+    gm = tmp_path / "got10k_masks" / "GOT-10k_Val_000001"
+    os.makedirs(gm)
+    m = np.zeros((24, 32), np.uint8)
+    m[2:4, 2:4] = 1
+    imwrite_indexed(str(gm / "00000001.png"), m)
+
+    t = tmp_path / "tn" / "TEST"
+    _img(str(t / "frames" / "seqA" / "0.jpg"))
+    _img(str(t / "frames" / "seqA" / "1.jpg"))
+    os.makedirs(t / "anno", exist_ok=True)
+    np.savetxt(t / "anno" / "seqA.txt", np.array([[1, 2, 3, 4]]), delimiter=",",
+               fmt="%d")
+    tm = tmp_path / "tn_masks" / "seqA"
+    os.makedirs(tm)
+    imwrite_indexed(str(tm / "0.png"), m)
+
+    _reset_env(tmp_path, got10k_path=tmp_path / "got10k",
+               got10k_mask_path=tmp_path / "got10k_masks",
+               trackingnet_path=tmp_path / "tn",
+               trackingnet_mask_path=tmp_path / "tn_masks")
+    from pytracking_tpu.evaluation.datasets import get_dataset
+    gseqs = get_dataset("got10kvos_val")
+    assert gseqs[0].init_info()["init_mask"].sum() == 4
+    tseqs = get_dataset("trackingnetvos")
+    assert tseqs[0].init_info()["init_mask"].sum() == 4
+
+
+def test_youtubevos_all_frames_jjvalid_cleanup(tmp_path):
+    from pytracking_tpu.utils.png_io import imwrite_indexed
+
+    root = tmp_path / "ytvos" / "2019"
+    train = root / "train"
+    # 0e27472bea carries the known-bad start frames for object "2"
+    meta = {"videos": {
+        "0e27472bea": {"objects": {"2": {"frames": ["00055", "00060", "00065"]}}},
+        "othervid": {"objects": {"1": {"frames": ["00000"]}}}}}
+    os.makedirs(train, exist_ok=True)
+    (train / "meta.json").write_text(json.dumps(meta))
+    m = np.zeros((24, 32), np.uint8)
+    m[1:3, 1:3] = 2
+    for fn in ("00055", "00060", "00065"):
+        _img(str(train / "JPEGImages" / "0e27472bea" / f"{fn}.jpg"))
+        os.makedirs(train / "Annotations" / "0e27472bea", exist_ok=True)
+        imwrite_indexed(str(train / "Annotations" / "0e27472bea" / f"{fn}.png"), m)
+    _img(str(train / "JPEGImages" / "othervid" / "00000.jpg"))
+    # all_frames folder holds denser frames
+    for fn in ("00055", "00057", "00060", "00062", "00065"):
+        _img(str(root / "train_all_frames" / "JPEGImages" / "0e27472bea" / f"{fn}.jpg"))
+    spec_dir = tmp_path / "specs"
+    os.makedirs(spec_dir)
+    (spec_dir / "youtubevos_jjvalid.txt").write_text("0e27472bea\n")
+    _reset_env(tmp_path, youtubevos_dir=tmp_path / "ytvos")
+    os.environ["PYTRACKING_TPU_DATA_SPECS_PATH"] = str(spec_dir)
+    try:
+        from pytracking_tpu.evaluation.adapters.youtubevos import YouTubeVOSDataset
+        # jjvalid + cleanup=['starts']: only the spec'd sequence, init at 00065
+        seqs = YouTubeVOSDataset(version="2019", split="jjvalid",
+                                 cleanup=["starts"]).get_sequence_list()
+        assert [s.name for s in seqs] == ["0e27472bea"]
+        assert list(seqs[0].init_data.keys()) == [2]   # index of 00065
+        # all_frames: frames come from the _all_frames folder (5 frames)
+        seqs = YouTubeVOSDataset(version="2019", split="jjvalid", all_frames=True,
+                                 cleanup=["starts"]).get_sequence_list()
+        assert len(seqs[0].frames) == 5
+        assert "train_all_frames" in seqs[0].frames[0]
+        # init frame index shifts accordingly (00065 is index 4 of 5)
+        assert list(seqs[0].init_data.keys()) == [4]
+    finally:
+        del os.environ["PYTRACKING_TPU_DATA_SPECS_PATH"]
