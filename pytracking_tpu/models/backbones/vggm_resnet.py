@@ -8,7 +8,7 @@ vggconv1 + layer3 (reference pytracking/parameter/eco/default.py:92).
 
 from __future__ import annotations
 
-from typing import Dict, Tuple
+from typing import Any, Dict, Tuple
 
 import flax.linen as nn
 import jax
@@ -35,20 +35,22 @@ def spatial_cross_map_lrn(x: jnp.ndarray, local_size: int = 5,
 class ResNet18VGGm1(nn.Module):
     """output_layers subset of ('vggconv1', 'conv1', 'layer1'..'layer4')."""
     output_layers: Tuple[str, ...] = ("vggconv1", "layer3")
+    dtype: Any = None          # compute dtype (params stay float32)
 
     @nn.compact
     def __call__(self, x, train: bool = False) -> Dict[str, jnp.ndarray]:
         outputs: Dict[str, jnp.ndarray] = {}
         if "vggconv1" in self.output_layers:
             c1 = nn.Conv(96, (7, 7), strides=(2, 2), padding=[(3, 3), (3, 3)],
-                         use_bias=True, name="vggmconv1")(x)
+                         use_bias=True, dtype=self.dtype, name="vggmconv1")(x)
             outputs["vggconv1"] = spatial_cross_map_lrn(nn.relu(c1))
             if len(outputs) == len(self.output_layers):
                 return outputs
 
         h = nn.Conv(64, (7, 7), strides=(2, 2), padding=[(3, 3), (3, 3)],
-                    use_bias=False, name="conv1")(x)
-        h = nn.BatchNorm(use_running_average=not train, momentum=0.9, name="bn1")(h)
+                    use_bias=False, dtype=self.dtype, name="conv1")(x)
+        h = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                         dtype=self.dtype, name="bn1")(h)
         h = nn.relu(h)
         if "conv1" in self.output_layers:
             outputs["conv1"] = h
@@ -65,6 +67,7 @@ class ResNet18VGGm1(nn.Module):
                 s = stride if b == 0 else 1
                 need_ds = (b == 0) and (s != 1 or in_ch != planes[stage])
                 h = BasicBlock(planes[stage], stride=s, downsample=need_ds,
+                               dtype=self.dtype,
                                name=f"layer{stage + 1}_{b}")(h, train=train)
                 in_ch = planes[stage]
             name = f"layer{stage + 1}"
@@ -75,5 +78,6 @@ class ResNet18VGGm1(nn.Module):
         return outputs
 
 
-def resnet18_vggmconv1(output_layers=("vggconv1", "layer3")) -> ResNet18VGGm1:
-    return ResNet18VGGm1(output_layers=tuple(output_layers))
+def resnet18_vggmconv1(output_layers=("vggconv1", "layer3"),
+                       dtype=None) -> ResNet18VGGm1:
+    return ResNet18VGGm1(output_layers=tuple(output_layers), dtype=dtype)

@@ -19,8 +19,12 @@ from pytracking_tpu.ops.filter import apply_filter
 
 
 def _apply_filter_ns(feat, weights):
-    """(Nf, Ns, H, W, C) x (Ns, fh, fw, C, K) -> (Nf, Ns, H, W, K)."""
-    return jax.vmap(lambda f: apply_filter(f, weights))(feat)
+    """(Nf, Ns, H, W, C) x (Ns, fh, fw, C, K) -> (Nf, Ns, H, W, K).
+
+    impl='taps': the tap-einsum form partitions cleanly when the sequence axis
+    is sharded over a mesh (the vmapped-conv form breaks the SPMD partitioner
+    in the mesh train steps — see ops/filter.py)."""
+    return jax.vmap(lambda f: apply_filter(f, weights, impl="taps"))(feat)
 
 
 class LinearFilterClassifier(nn.Module):

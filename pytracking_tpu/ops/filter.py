@@ -22,7 +22,8 @@ import jax.numpy as jnp
 from jax import lax
 
 
-def apply_filter(feat: jnp.ndarray, filt: jnp.ndarray, mode: str = "dimp") -> jnp.ndarray:
+def apply_filter(feat: jnp.ndarray, filt: jnp.ndarray, mode: str = "dimp",
+                 impl: str = "conv") -> jnp.ndarray:
     """Cross-correlate each sample with its own filter.
 
     mode='dimp' (reference layers/filter.py:5-34): pad filter_sz//2 on BOTH sides —
@@ -33,15 +34,40 @@ def apply_filter(feat: jnp.ndarray, filt: jnp.ndarray, mode: str = "dimp") -> jn
     the trailing row/col is dropped for even filters — output is always H×W.
     """
     fh, fw = filt.shape[1], filt.shape[2]
-    pad = [(fh // 2, fh // 2), (fw // 2, fw // 2)]
+    ph, pw = fh // 2, fw // 2
 
-    def one(f, w):
-        return lax.conv_general_dilated(
-            f[None], w, window_strides=(1, 1), padding=pad,
-            dimension_numbers=("NHWC", "HWIO", "NHWC"),
-            preferred_element_type=jnp.float32)[0]
+    if impl == "taps":
+        # Tap-wise batched matmuls instead of a vmapped per-sample conv: each
+        # of the fh*fw taps is one (B, Ho*Wo, C) x (B, C, K) einsum. The
+        # vmap-of-conv lowering folds the sample axis into feature groups,
+        # which breaks XLA's SPMD partitioner when the sample axis is sharded
+        # over a mesh (the per-shard grouped conv keeps the full
+        # feature_group_count against divided channels) — so the mesh-sharded
+        # train steps (ToMP/TaMOs heads) use this form. The conv form stays the
+        # default: it is ~50x faster in DiMP's unrolled-optimizer inner loop,
+        # where XLA fuses the taps into one conv kernel.
+        B, H, W, C = feat.shape
+        featp = jnp.pad(feat, ((0, 0), (ph, ph), (pw, pw), (0, 0)))
+        Ho = H + 2 * ph - fh + 1
+        Wo = W + 2 * pw - fw + 1
+        out = None
+        for dy in range(fh):
+            for dx in range(fw):
+                t = jnp.einsum("bijc,bck->bijk",
+                               featp[:, dy:dy + Ho, dx:dx + Wo, :],
+                               filt[:, dy, dx],
+                               preferred_element_type=jnp.float32)
+                out = t if out is None else out + t
+    else:
+        pad = [(ph, ph), (pw, pw)]
 
-    out = jax.vmap(one)(feat, filt)
+        def one(f, w):
+            return lax.conv_general_dilated(
+                f[None], w, window_strides=(1, 1), padding=pad,
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                preferred_element_type=jnp.float32)[0]
+
+        out = jax.vmap(one)(feat, filt)
     if mode == "same":
         if fh % 2 == 0:
             out = out[:, :-1]

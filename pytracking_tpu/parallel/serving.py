@@ -48,13 +48,29 @@ class BatchedTrackerServer:
     """
 
     def __init__(self, tracker_cls, params, net, variables, mesh=None,
-                 **tracker_kwargs):
+                 bf16: Optional[bool] = None, **tracker_kwargs):
         """mesh: optional jax.sharding.Mesh with a 'data' axis — the stream
         (batch) axis of the states and frame batches is sharded across it and
         the vmapped step runs SPMD over the mesh with NO collectives (streams
         are independent); variables are replicated. B must be divisible by the
         mesh's 'data' size. This is the multi-chip serving scale-out: the same
-        server drives 8x the streams on an 8-chip pod slice."""
+        server drives 8x the streams on an 8-chip pod slice.
+
+        bf16: store all float32 parameters as bfloat16 — the SERVING DEFAULT
+        since round 4 (+15% aggregate throughput; accuracy-gated at the
+        whole-harness level in tests/test_bf16_harness_gate.py: dAUC -1.4 on
+        the synthetic benchmark, within the f32-vs-reference tolerance).
+        None reads PYTRACKING_TPU_SERVING_BF16 (default on); pass False for
+        bit-level parity work against the single-stream f32 trackers."""
+        import os
+
+        if bf16 is None:
+            bf16 = os.environ.get("PYTRACKING_TPU_SERVING_BF16", "1") == "1"
+        if bf16:
+            variables = jax.tree_util.tree_map(
+                lambda x: x.astype(jnp.bfloat16)
+                if hasattr(x, "dtype") and x.dtype == jnp.float32 else x,
+                variables)
         if getattr(tracker_cls, "supports_deferred_classifier_update", False) \
                 and hasattr(params, "defer_classifier_update"):
             params = dataclasses.replace(params, defer_classifier_update=True)

@@ -396,7 +396,7 @@ class ATOMTracker(BaseTracker):
             num_stored=jnp.asarray(T, jnp.int32), num_init=jnp.asarray(T, jnp.int32),
             prev_ind=jnp.asarray(-1, jnp.int32), iou_mod3=mod3, iou_mod4=mod4,
             frame_num=jnp.asarray(1, jnp.int32), key=key,
-            flag=jnp.asarray(0, jnp.int32), max_score=jnp.asarray(1.0))
+            flag=jnp.asarray(0, jnp.int32), max_score=jnp.asarray(1.0, jnp.float32))
 
     def _label_batch(self, centers, feat_sz: int, sigma):
         """CENTERED Gaussian labels (reference dcf.label_function_spatial /

@@ -327,7 +327,7 @@ class DiMPTracker(BaseTracker):
             prev_ind=jnp.asarray(-1, jnp.int32),
             iou_mod3=mod3, iou_mod4=mod4,
             frame_num=jnp.asarray(1, jnp.int32),
-            key=key, flag=jnp.asarray(0, jnp.int32), max_score=jnp.asarray(1.0))
+            key=key, flag=jnp.asarray(0, jnp.int32), max_score=jnp.asarray(1.0, jnp.float32))
 
     # ------------------------------------------------------------------ track
 

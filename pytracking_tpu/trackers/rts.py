@@ -267,7 +267,7 @@ class RTSTracker(LWLTracker):
             scale_history=jnp.full((p.scale_history_size,), state.target_scale),
             scale_hist_len=jnp.asarray(1, jnp.int32),
             lost_counter=jnp.asarray(0, jnp.int32),
-            clf_max_score=jnp.asarray(1.0))
+            clf_max_score=jnp.asarray(1.0, jnp.float32))
 
     # ---------------------------------------------------------------- track
 

@@ -227,7 +227,7 @@ class ToMPTracker(BaseTracker):
             scale_hist_len=jnp.asarray(1, jnp.int32),
             not_found_counter=jnp.asarray(0, jnp.int32),
             frame_num=jnp.asarray(1, jnp.int32), key=key,
-            flag=jnp.asarray(0, jnp.int32), max_score=jnp.asarray(1.0))
+            flag=jnp.asarray(0, jnp.int32), max_score=jnp.asarray(1.0, jnp.float32))
 
     # ---------------------------------------------------------------- track
 

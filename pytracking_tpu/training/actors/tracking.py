@@ -15,6 +15,7 @@ from __future__ import annotations
 
 from typing import Dict, Tuple
 
+import jax
 import jax.numpy as jnp
 
 from pytracking_tpu.models.loss.target_classification import (
@@ -150,10 +151,13 @@ def make_tomp_actor(net, loss_weight=None, train: bool = True):
         if batch_stats is not None:
             variables["batch_stats"] = batch_stats
         if train and batch_stats is not None:
+            # the DETR-style transformer uses dropout in training — thread the
+            # per-step seed the trainer puts in the batch
+            rngs = {"dropout": jax.random.PRNGKey(batch.get("rng_seed", 0))}
             (scores, bbox_preds), mutated = net.apply(
                 variables, batch["train_images"], batch["test_images"],
                 batch["train_label"], batch["train_ltrb_target"], train=True,
-                mutable=["batch_stats"])
+                mutable=["batch_stats"], rngs=rngs)
             new_bs = mutated["batch_stats"]
         else:
             scores, bbox_preds = net.apply(
@@ -424,10 +428,11 @@ def make_tamos_actor(net, loss_weight=None, train: bool = True):
         if batch_stats is not None:
             variables["batch_stats"] = batch_stats
         if train and batch_stats is not None:
+            rngs = {"dropout": jax.random.PRNGKey(batch.get("rng_seed", 0))}
             (scores, bbox_preds), mutated = net.apply(
                 variables, batch["train_images"], batch["test_images"],
                 batch["train_label"], batch["train_ltrb_target"], train=True,
-                mutable=["batch_stats"])
+                mutable=["batch_stats"], rngs=rngs)
             new_bs = mutated["batch_stats"]
         else:
             scores, bbox_preds = net.apply(

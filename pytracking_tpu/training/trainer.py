@@ -176,6 +176,9 @@ class LTRTrainer(BaseTrainer):
         start = time.time()
         num_frames = 0
         for i, batch in enumerate(loader, 1):
+            # per-step dropout seed for actors whose nets use dropout (the
+            # ToMP/TaMOs transformer); scalar, so it replicates under shard_batch
+            batch["rng_seed"] = np.int32(self.epoch * 1_000_003 + i)
             if self.mesh is not None:
                 batch = shard_batch(self.mesh, batch, batch_axis=1)
             else:

@@ -230,8 +230,34 @@ def measure_eco(n=40):
         dt = time.perf_counter() - t0
         best = dt if best is None else min(best, dt)
     ms = 1000 * best / n
-    print(f"{'eco':14s} device step {ms:7.2f} ms/frame  ({1000 / ms:7.1f} FPS)")
-    return ms
+
+    # the periodic filter CG update is a separate host-scheduled program
+    # (trackers/eco.py track(): every train_skipping frames) — time it and
+    # report the amortized per-frame total
+    upd = functools.partial(tracker._update_impl,
+                            filt_szs=tuple(tracker._filt_szs))
+
+    def upd_fn(variables, st, yfs_, regw_):
+        prev = tracker.variables
+        tracker.variables = variables
+        try:
+            return upd(st, yfs_, regw_)
+        finally:
+            tracker.variables = prev
+
+    ustep = jax.jit(upd_fn)
+    st2 = ustep(tracker.variables, state, yfs, regw)
+    jax.block_until_ready(st2.filters[0])
+    t0 = time.perf_counter()
+    for _ in range(10):
+        st2 = ustep(tracker.variables, state, yfs, regw)
+    jax.block_until_ready(st2.filters[0])
+    ums = 1000 * (time.perf_counter() - t0) / 10
+    total = ms + ums / tracker.params.train_skipping
+    print(f"{'eco':14s} device step {ms:7.2f} ms/frame + CG update "
+          f"{ums:.2f} ms / {tracker.params.train_skipping} frames = "
+          f"{total:7.2f} ms/frame amortized ({1000 / total:7.1f} FPS)")
+    return total
 
 
 def measure_lwl(n=20):

@@ -59,7 +59,10 @@ def test_batched_server_matches_per_sequence_trackers(net_and_variables):
             ref_boxes[t, b] = out["target_bbox"]
 
     # server: one vmapped step + deferred cadence updates
-    server = BatchedTrackerServer(DiMPTracker, _params(), net, variables)
+    # bf16=False: this test asserts exact agreement with the f32 per-sequence
+    # trackers (the serving default since round 4 is bf16, gated separately)
+    server = BatchedTrackerServer(DiMPTracker, _params(), net, variables,
+                                  bf16=False)
     assert server._deferred
     server.initialize([make_frame(cy, cx) for cy, cx in centers],
                       [[cx - 10, cy - 10, 20, 20] for cy, cx in centers])
@@ -142,3 +145,31 @@ def test_mesh_sharded_server_matches_single_device(net_and_variables):
         mesh_boxes = np.stack([s.track(frames_at(t)) for t in range(T)])
 
     np.testing.assert_allclose(mesh_boxes, ref_boxes, rtol=1e-4, atol=5e-2)
+
+
+@pytest.mark.filterwarnings("ignore")
+def test_bf16_default_serving_tracks_close(net_and_variables):
+    """The round-4 serving default (bf16 parameter storage) must stay close to
+    the f32 server on the same streams — the whole-harness accuracy gate lives
+    in test_bf16_harness_gate.py; this asserts the serving wiring itself."""
+    net, variables = net_and_variables
+    B, T = 2, 5
+    centers = [(50 + 6 * b, 50 + 4 * b) for b in range(B)]
+    frames0 = [make_frame(cy, cx) for cy, cx in centers]
+    bboxes = [[cx - 10, cy - 10, 20, 20] for cy, cx in centers]
+
+    s32 = BatchedTrackerServer(DiMPTracker, _params(), net, variables,
+                               bf16=False)
+    s16 = BatchedTrackerServer(DiMPTracker, _params(), net, variables,
+                               bf16=True)
+    s32.initialize(frames0, bboxes)
+    s16.initialize(frames0, bboxes)
+    import jax.numpy as jnp
+    leaves = jax.tree_util.tree_leaves(s16.tracker.variables)
+    assert any(l.dtype == jnp.bfloat16 for l in leaves if hasattr(l, "dtype"))
+    for t in range(1, T):
+        fb = np.stack([make_frame(cy + 2 * t, cx + t) for cy, cx in centers])
+        b32 = s32.track(fb)
+        b16 = s16.track(fb)
+    # boxes on the same high-contrast streams must agree to a few pixels
+    assert np.abs(np.asarray(b32) - np.asarray(b16)).max() < 6.0
