@@ -22,20 +22,35 @@ from pytracking_tpu.models.layers.blocks import ConvBlock
 def shift_features(feat: jnp.ndarray, shift_yx) -> jnp.ndarray:
     """Bilinear sub-pixel shift of (B, H, W, C) by (B, 2) normalized (y, x) offsets
     (reference kys/utils.py shift_features). Positive shift moves content toward
-    higher indices."""
-    from pytracking_tpu.ops.patch import bilinear_sample
-
+    higher indices. Out-of-image taps contribute ZERO, matching torch
+    grid_sample's default zero padding (the reference relies on it: a clamped
+    border propagates visibly through the predictor's 3x3 conv stack)."""
     B, H, W, C = feat.shape
     shift_yx = jnp.asarray(shift_yx, jnp.float32).reshape(B, 2)
+    featp = jnp.pad(feat, ((0, 0), (1, 1), (1, 1), (0, 0)))
 
     def one(f, s):
         yy = jnp.arange(H, dtype=jnp.float32)[:, None] - s[0] * H
         xx = jnp.arange(W, dtype=jnp.float32)[None, :] - s[1] * W
-        yyb = jnp.broadcast_to(yy, (H, W))
-        xxb = jnp.broadcast_to(xx, (H, W))
-        return bilinear_sample(f, yyb, xxb)
+        y0 = jnp.floor(yy)
+        x0 = jnp.floor(xx)
+        wy = yy - y0
+        wx = xx - x0
+        out = 0.0
+        for dy in (0, 1):
+            for dx in (0, 1):
+                yi = y0 + dy
+                xi = x0 + dx
+                valid = (yi >= 0) & (yi <= H - 1) & (xi >= 0) & (xi <= W - 1)
+                w = jnp.where(dy, wy, 1 - wy) * jnp.where(dx, wx, 1 - wx) * valid
+                yi_c = jnp.clip(yi + 1, 0, H + 1).astype(jnp.int32)
+                xi_c = jnp.clip(xi + 1, 0, W + 1).astype(jnp.int32)
+                out = out + w[..., None] * f[
+                    jnp.broadcast_to(yi_c, (H, W)),
+                    jnp.broadcast_to(xi_c, (H, W))]
+        return out
 
-    return jax.vmap(one)(feat, shift_yx)
+    return jax.vmap(one)(featp, shift_yx)
 
 
 class ResponsePredictor(nn.Module):
@@ -48,9 +63,14 @@ class ResponsePredictor(nn.Module):
     @nn.compact
     def __call__(self, cost_volume, state_prev, dimp_score_cur, init_label=None,
                  dimp_thresh: Optional[float] = None, output_window=None,
-                 train: bool = False):
+                 state_valid=None, train: bool = False):
         """cost_volume (B, HW, H, W); state_prev (B, H, W, D) or None;
         dimp_score_cur (B, H, W, 1); init_label (B, H, W, 1) when state_prev is None.
+
+        state_valid: optional traced () bool for the jit-stable tracker path —
+        when False, state_prev is replaced with the label-seeded initial state
+        (the reference's `state_prev is None` branch, response_predictor.py),
+        selected dynamically instead of by Python control flow.
 
         Returns (fused response (B, H, W, 1), new state (B, H, W, D), aux dict)."""
         if dimp_thresh is None:
@@ -81,10 +101,15 @@ class ResponsePredictor(nn.Module):
                                                                             train=train)
         w_prop = jax.nn.softmax(cv.reshape(B, HW, H * W), axis=1)  # over prev positions
 
-        if state_prev is None:
-            state_prev = jnp.tanh(nn.Conv(self.state_dim, (3, 3),
+        if state_prev is None or (state_valid is not None and
+                                  init_label is not None):
+            init_state = jnp.tanh(nn.Conv(self.state_dim, (3, 3),
                                           padding=[(1, 1), (1, 1)], use_bias=False,
                                           name="init_hidden")(init_label))
+            if state_prev is None:
+                state_prev = init_state
+            else:
+                state_prev = jnp.where(state_valid, state_prev, init_state)
         aux["is_target"] = is_target(state_prev)
 
         # propagate: (B, HW_cur, HW_prev) x (B, HW_prev, D) -> (B, HW_cur, D)

@@ -33,19 +33,40 @@ class KYSNet(DiMPnet):
     cv_kernel_size: int = 3
 
     def get_motion_feat(self, backbone_feat):
-        """Motion features = classification features (reference kysnet.py:90-95 with
-        motion_feat_extractor=None)."""
-        return self.extract_classification_feat(backbone_feat)
+        """Motion features = the RAW classification-layer backbone map (layer3,
+        1024-dim) — reference kysnet.py:90-95 with motion_feat_extractor=None
+        routes to predictor_wrapper.extract_motion_feat (:82-86), which is the
+        identity on backbone_feat[classification_layer], NOT the projected
+        512-dim classifier feature."""
+        return backbone_feat["layer3"]
 
     def predict_response(self, motion_feat_prev, motion_feat_cur, state_prev,
                          dimp_score_cur, init_label=None, dimp_thresh=None,
-                         output_window=None):
+                         output_window=None, state_valid=None):
         """(reference predictor_wrapper.predict_response :92-152). All inputs
-        (B, H, W, C)-shaped; returns (fused (B,H,W,1), state (B,H,W,D), aux)."""
+        (B, H, W, C)-shaped; returns (fused (B,H,W,1), state (B,H,W,D), aux).
+
+        Implements the wrapper's `fix_coordinate_shift` (predictor_wrapper.py:
+        12,113-151): the dimp score and label are shifted by a quarter cell
+        (+0.5/size in the torch affine-grid's [-1,1] units = +0.25 px of
+        content) before the predictor, and the response shifted back after."""
+        from pytracking_tpu.models.kys.response_predictor import shift_features
+
         cv = cost_volume_abs(motion_feat_cur, motion_feat_prev, self.max_displacement,
                              kernel_size=self.cv_kernel_size)
-        return self.predictor(cv, state_prev, dimp_score_cur, init_label=init_label,
-                              dimp_thresh=dimp_thresh, output_window=output_window)
+        B, H, W = dimp_score_cur.shape[0], dimp_score_cur.shape[1], \
+            dimp_score_cur.shape[2]
+        # our shift_features moves content by +s*size px: +0.25 px -> 0.25/size
+        s_pre = jnp.broadcast_to(jnp.asarray([0.25 / H, 0.25 / W]), (B, 2))
+        dimp_in = shift_features(dimp_score_cur, s_pre)
+        label_in = shift_features(init_label, s_pre) \
+            if init_label is not None else None
+        fused, state_new, aux = self.predictor(
+            cv, state_prev, dimp_in, init_label=label_in,
+            dimp_thresh=dimp_thresh, output_window=output_window,
+            state_valid=state_valid)
+        fused = shift_features(fused, -s_pre)
+        return fused, state_new, aux
 
 
 def kysnet_res50(filter_size: int = 4, optim_iter: int = 5,

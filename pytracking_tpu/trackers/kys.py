@@ -42,6 +42,7 @@ class KYSParams(DiMPParams):
     target_not_found_threshold_fused: float = 0.05
     prev_feat_remove_subpixel_shift: bool = True
     move_feat_to_center: bool = True
+    reset_state_during_occlusion: bool = False
     remove_offset_in_fused_score: bool = True
     output_sigma_factor: float = 1 / 4
     # hard-negative mining on the dimp score (reference kys.py:349-353,384-409;
@@ -55,20 +56,25 @@ class KYSState(DiMPState):
     state_vector: jnp.ndarray = None         # (1, h, w, D)
     prev_label: jnp.ndarray = None           # (1, h, w, 1)
     have_state: jnp.ndarray = None           # () bool — state vector valid
+    prev_box_patch: jnp.ndarray = None       # (4,) x,y,w,h in prev patch coords
 
 
 class KYSTracker(DiMPTracker):
     """Extends the DiMP tracker with the scene-propagation branch."""
 
+    def _motion_feat(self, backbone_feat):
+        return self.net.apply(self.variables, backbone_feat,
+                              method=lambda m, f: m.get_motion_feat(f))
+
     def _predict_response(self, motion_prev, motion_cur, state_prev, dimp_score,
-                          init_label, window):
+                          init_label, window, state_valid=None):
         p = self.params
         return self.net.apply(
             self.variables, motion_prev, motion_cur, state_prev, dimp_score,
             init_label,
             method=lambda m, mp, mc, sp, ds, il: m.predict_response(
                 mp, mc, sp, ds, init_label=il, dimp_thresh=p.dimp_threshold,
-                output_window=window))
+                output_window=window, state_valid=state_valid))
 
     def _initialize_impl(self, im, bbox, key):
         state = super()._initialize_impl(im, bbox, key)
@@ -81,13 +87,16 @@ class KYSTracker(DiMPTracker):
                                      state.target_scale * img_sample_sz,
                                      self._img_sample_sz, mode=p.border_mode)
         backbone_feat = self._backbone(patch[None])
-        motion_feat = self._clf_feat(backbone_feat)
+        motion_feat = self._motion_feat(backbone_feat)
 
         sample_pos = 0.5 * (coords[:2] + coords[2:])
         sample_scale = jnp.sqrt(jnp.prod((coords[2:] - coords[:2]) / img_sample_sz))
         sigma = jnp.sqrt(jnp.prod(feat_sz / img_sample_sz * state.base_target_sz)) * \
             p.output_sigma_factor * jnp.ones(2)
-        center = feat_sz * (state.pos - sample_pos) / (sample_scale * img_sample_sz)
+        # reference get_label_function (kys.py:410-421): +half-cell for even kernels
+        ksz_even = (p.kernel_size + 1) % 2
+        center = feat_sz * (state.pos - sample_pos) / (sample_scale * img_sample_sz) \
+            + 0.5 * ksz_even
         h, w = motion_feat.shape[1], motion_feat.shape[2]
         label = dcf.gauss_2d((h, w), sigma, center[None])[0]
 
@@ -98,7 +107,10 @@ class KYSTracker(DiMPTracker):
             state_vector=jnp.zeros(motion_feat.shape[:3] +
                                    (self.net.predictor.state_dim,)),
             prev_label=label[None, :, :, None],
-            have_state=jnp.asarray(False))
+            have_state=jnp.asarray(False),
+            prev_box_patch=_get_iounet_box(state.pos, state.target_sz,
+                                           sample_pos, sample_scale,
+                                           img_sample_sz))
 
     def _track_impl(self, state: KYSState, im):
         p = self.params
@@ -123,6 +135,7 @@ class KYSTracker(DiMPTracker):
 
         backbone_feat = self._backbone(patch[None])
         test_x = self._clf_feat(backbone_feat)
+        motion_cur = self._motion_feat(backbone_feat)
         scores_raw = self._classify(state.target_filter, test_x)[0, :, :, 0]
 
         # crop dimp score to the motion-feature grid (even kernel -> +1 border)
@@ -137,10 +150,43 @@ class KYSTracker(DiMPTracker):
         dimp_score_in = dimp_score * window if \
             (window is not None and p.apply_window_to_dimp_score) else dimp_score
 
-        state_prev = jnp.where(state.have_state, 1.0, 0.0) * state.state_vector
+        # ---- align the previous frame's features to the new sample grid
+        # (reference kys.py:274-299): when the target sat far from the prev
+        # patch center, shift the prev features/state so it is centered
+        # (CenterShiftFeatures, move_feat_to_center); otherwise remove the
+        # sub-pixel part of the prev target position (round to the cell grid
+        # + the wrapper's half-cell, prev_feat_remove_subpixel_shift). Both
+        # shifts only apply once a state vector exists (frame >= 2).
+        mh, mw = test_x.shape[1], test_x.shape[2]
+        box_c = state.prev_box_patch[:2] + 0.5 * state.prev_box_patch[2:]  # (x, y)
+        box_c_max = img_sample_sz[0] * (0.5 + 1.0 / p.search_area_scale)
+        box_c_min = img_sample_sz[0] * (0.5 - 1.0 / p.search_area_scale)
+        near_center = jnp.all((box_c < box_c_max) & (box_c > box_c_min))
+        box_c_feat = box_c / 16.0                                  # (x, y) cells
+        # center shift: content moves -(c_cells - sz/2) cells (utils.py:16-32;
+        # our shift_features moves content by +s*size px)
+        s_center = -jnp.stack([(box_c_feat[1] - mh * 0.5) / mh,
+                               (box_c_feat[0] - mw * 0.5) / mw])[None]
+        # sub-pixel shift: torch affine-grid t = (round(c)+0.5-c)/size in
+        # [-1,1] units -> content moves -t*size/2 px (kys.py:287-293)
+        box_c_round = jnp.round(box_c_feat) + 0.5
+        s_sub = jnp.stack([(box_c_round[1] - box_c_feat[1]) / (2.0 * mh),
+                           (box_c_round[0] - box_c_feat[0]) / (2.0 * mw)])[None]
+        use_center = state.have_state & (~near_center) \
+            if p.move_feat_to_center else jnp.asarray(False)
+        use_sub = state.have_state & ~use_center \
+            if p.prev_feat_remove_subpixel_shift else jnp.asarray(False)
+        s_apply = jnp.where(use_center, s_center,
+                            jnp.where(use_sub, s_sub, jnp.zeros((1, 2))))
+        motion_prev = shift_features(state.motion_feat_prev, s_apply)
+        state_vec_prev = shift_features(state.state_vector, s_apply)
+
+        # state seeding: before the first found frame the reference passes
+        # state_prev=None and the predictor seeds it from the label
+        # (init_hidden); here the selection is dynamic via state_valid
         fused, new_state_vec, _ = self._predict_response(
-            state.motion_feat_prev, test_x, state_prev, dimp_score_in,
-            state.prev_label, window)
+            motion_prev, motion_cur, state_vec_prev, dimp_score_in,
+            state.prev_label, window, state_valid=state.have_state)
         fused = jax.nn.relu(fused)[0, :, :, 0]
 
         # localization on the fused response (reference kys.py:322-409); thresholds are
@@ -183,14 +229,25 @@ class KYSTracker(DiMPTracker):
         # ---- update the propagation state (PrevStateHandler.set_data, kys.py:198-205)
         sigma = jnp.sqrt(jnp.prod(feat_sz / img_sample_sz * state.base_target_sz)) * \
             p.output_sigma_factor * jnp.ones(2)
-        center = feat_sz * (state.pos - sample_pos) / (sample_scale * img_sample_sz)
+        ksz_even = (p.kernel_size + 1) % 2
+        center = feat_sz * (state.pos - sample_pos) / (sample_scale * img_sample_sz) \
+            + 0.5 * ksz_even
         new_label = dcf.gauss_2d((h, w), sigma, center[None])[0][None, :, :, None]
+        new_box_patch = _get_iounet_box(state.pos, state.target_sz, sample_pos,
+                                        sample_scale, img_sample_sz)
 
+        # reference kys.py:198-205: prev data is replaced only on found frames;
+        # on not_found it is KEPT (reset_state_during_occlusion merely zeroes
+        # the state vector), and a once-valid state stays valid
+        kept_vec = state.state_vector
+        if p.reset_state_during_occlusion:
+            kept_vec = jnp.where(found, kept_vec, jnp.zeros_like(kept_vec))
         state = state.replace(
-            motion_feat_prev=jnp.where(found, test_x, state.motion_feat_prev),
-            state_vector=jnp.where(found, new_state_vec, state.state_vector),
+            motion_feat_prev=jnp.where(found, motion_cur, state.motion_feat_prev),
+            state_vector=jnp.where(found, new_state_vec, kept_vec),
             prev_label=jnp.where(found, new_label, state.prev_label),
-            have_state=found,
+            prev_box_patch=jnp.where(found, new_box_patch, state.prev_box_patch),
+            have_state=found | state.have_state,
             flag=flag.astype(jnp.int32), max_score=max_score)
 
         bbox = jnp.concatenate([state.pos[::-1] - (state.target_sz[::-1] - 1) / 2,
