@@ -376,10 +376,50 @@ def _install_legacy_fft():
     torch.ifft_legacy = ifft
 
 
+def _install_skimage():
+    """Functional skimage.morphology subset used by the reference's VOS F-measure
+    (vos_utils.py:3): binary_dilation + disk, implemented with numpy."""
+    try:
+        import skimage.morphology  # noqa: F401
+        return
+    except ImportError:
+        pass
+    import numpy as np
+
+    sk = _stub_module("skimage")
+    morph = _stub_module("skimage.morphology")
+    sk.morphology = morph
+
+    def disk(radius):
+        r = int(radius)
+        yy, xx = np.mgrid[-r:r + 1, -r:r + 1]
+        return (yy * yy + xx * xx) <= r * r
+
+    def binary_dilation(image, footprint=None):
+        image = np.asarray(image).astype(bool)
+        if footprint is None:
+            footprint = np.ones((3, 3), bool)
+        fp = np.asarray(footprint).astype(bool)
+        ry, rx = fp.shape[0] // 2, fp.shape[1] // 2
+        padded = np.pad(image, ((ry, ry), (rx, rx)))
+        out = np.zeros_like(image)
+        for dy in range(fp.shape[0]):
+            for dx in range(fp.shape[1]):
+                if fp[dy, dx]:
+                    out |= padded[dy:dy + image.shape[0],
+                                  dx:dx + image.shape[1]]
+        return out
+
+    morph.disk = disk
+    morph.binary_dilation = binary_dilation
+
+
 def install():
     _install_legacy_fft()
+    _install_skimage()
     for name in ("jpeg4py", "cv2", "visdom", "visdom.server", "pandas", "lvis",
-                 "pycocotools", "pycocotools.coco", "pycocotools.mask"):
+                 "pycocotools", "pycocotools.coco", "pycocotools.mask",
+                 "tikzplotlib"):
         try:
             __import__(name)
         except ImportError:
