@@ -117,6 +117,45 @@ def print_per_sequence_results(trackers: List, dataset, report_name: str = "repo
                                       for j in range(len(names))))
 
 
+def print_per_attribute_results(trackers: List, dataset,
+                                report_name: str = "report",
+                                attribute_specs: Optional[dict] = None, **kwargs):
+    """Attribute/scenario-wise AUC table (reference plot_results.py:588-624; drives
+    the AVisT scenario breakdown from notebooks/analyze_avist_results.ipynb).
+
+    Datasets attach per-sequence attribute lists (e.g. the bundled AVisT scenario
+    codes); `attribute_specs` maps code -> display name. Returns
+    {attribute: {tracker_disp_name: auc}}."""
+    attr_of = {}
+    for seq in dataset:
+        for a in getattr(seq, "attributes", []) or []:
+            attr_of.setdefault(a, []).append(seq.name)
+    if not attr_of:
+        print("No attribute annotations in this dataset")
+        return None
+
+    eval_data = extract_results(trackers, dataset, report_name, **kwargs)
+    succ = np.asarray(eval_data["ave_success_rate_plot_overlap"]) * 100.0
+    names = [t["disp_name"] for t in eval_data["trackers"]]
+    seq_index = {n: i for i, n in enumerate(eval_data["sequences"])}
+
+    attrs = sorted(attr_of)
+    disp = [(attribute_specs or {}).get(a, a) for a in attrs]
+    width = max(22, max(len(d) for d in disp) + 2)
+    print(f"{'Scenario':<{width}s}{'#seq':>6s}"
+          + "".join(f"{n:>16s}" for n in names))
+    table = {}
+    for a, d in zip(attrs, disp):
+        ids = [seq_index[s] for s in attr_of[a] if s in seq_index]
+        if not ids:
+            continue
+        aucs = succ[ids].mean(0).mean(-1)
+        table[a] = dict(zip(names, aucs.tolist()))
+        print(f"{d:<{width}s}{len(ids):>6d}"
+              + "".join(f"{v:>16.1f}" for v in aucs))
+    return table
+
+
 def plot_attributes_radar(trackers: List, dataset, report_name: str = "report",
                           attribute_specs: Optional[dict] = None, **kwargs):
     """Per-attribute AUC radar plot (reference plot_results.py:588-660): datasets carry

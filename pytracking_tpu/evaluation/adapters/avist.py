@@ -13,10 +13,28 @@ from pytracking_tpu.evaluation.adapters._util import load_text
 from pytracking_tpu.evaluation.data import BaseDataset, Sequence, SequenceList
 
 
+def load_scenarios() -> dict:
+    """Bundled AVisT scenario spec: sequence -> short attribute codes, plus the
+    short->long display-name map (reference avistdataset.py attribute columns;
+    scenario names from the AVisT paper)."""
+    import json
+
+    spec_dir = os.environ.get(
+        "PYTRACKING_TPU_ATTRIBUTE_SPECS_PATH",
+        os.path.join(os.path.dirname(os.path.dirname(__file__)),
+                     "dataset_attribute_specs"))
+    path = os.path.join(spec_dir, "avist_scenarios.json")
+    if not os.path.isfile(path):
+        return {}
+    with open(path) as f:
+        return json.load(f)
+
+
 class AVisTDataset(BaseDataset):
     def __init__(self):
         super().__init__()
         self.base_path = self.env_settings.avist_path
+        self._scenarios = load_scenarios()
 
     def get_sequence_list(self) -> SequenceList:
         anno_dir = os.path.join(self.base_path, "anno")
@@ -41,5 +59,6 @@ class AVisTDataset(BaseDataset):
                 target_visible = (occ[:n] == 0) & (oov[:n] == 0)
             n = min(len(frames), len(gt))
             seqs.append(Sequence(name, frames[:n], "avist", gt[:n],
-                                 target_visible=target_visible))
+                                 target_visible=target_visible,
+                                 attributes=self._scenarios.get(name)))
         return SequenceList(seqs)

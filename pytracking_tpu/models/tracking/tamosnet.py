@@ -149,11 +149,13 @@ def tamosnet_resnet50(filter_size: int = 1, head_layer: str = "layer3",
                       num_encoder_layers: int = 6, num_decoder_layers: int = 6,
                       dim_feedforward: int = 2048, feature_sz: int = 36,
                       num_tokens: int = 10, box_enc: str = "ltrb_token",
+                      backbone_dtype=None, transformer_dtype=None,
                       freeze_backbone_bn: bool = False) -> TaMOsNet:
     # feature_sz: max spatial resolution for the anti-aliased positional encoding —
     # the recipe trains at (36, 24), reference PositionEmbeddingSine takes max(...)
     """(reference tamosnet.py:82-131)"""
-    backbone = backbones.resnet50(output_layers=("layer2", "layer3"))
+    backbone = backbones.resnet50(output_layers=("layer2", "layer3"),
+                                  dtype=backbone_dtype)
     norm_scale = math.sqrt(1.0 / (out_feature_dim * filter_size * filter_size))
     head_fe = ResidualBottleneck(feature_dim=256, num_blocks=0, l2norm=True,
                                  final_conv=True, norm_scale=norm_scale,
@@ -161,7 +163,8 @@ def tamosnet_resnet50(filter_size: int = 1, head_layer: str = "layer3",
     transformer = Transformer(d_model=out_feature_dim, nhead=nhead,
                               num_encoder_layers=num_encoder_layers,
                               num_decoder_layers=num_decoder_layers,
-                              dim_feedforward=dim_feedforward)
+                              dim_feedforward=dim_feedforward,
+                              dtype=transformer_dtype)
     fp = GOTFilterPredictor(transformer, feature_sz=feature_sz,
                             num_tokens=num_tokens, box_enc=box_enc)
     return TaMOsNet(feature_extractor=backbone, head_feature_extractor=head_fe,
@@ -174,7 +177,8 @@ def tamosnet_resnet50(filter_size: int = 1, head_layer: str = "layer3",
 
 def tamosnet_swin_base(filter_size: int = 1, out_feature_dim: int = 256,
                        feature_sz: int = 36, num_tokens: int = 10,
-                       box_enc: str = "ltrb_token", **kwargs) -> TaMOsNet:
+                       box_enc: str = "ltrb_token", transformer_dtype=None,
+                       **kwargs) -> TaMOsNet:
     """TaMOs with a Swin-Base backbone (reference tamosnet.py:134-180)."""
     from pytracking_tpu.models.backbones.swin import swin_base
 
@@ -187,7 +191,8 @@ def tamosnet_swin_base(filter_size: int = 1, out_feature_dim: int = 256,
                               nhead=kwargs.get("nhead", 8),
                               num_encoder_layers=kwargs.get("num_encoder_layers", 6),
                               num_decoder_layers=kwargs.get("num_decoder_layers", 6),
-                              dim_feedforward=kwargs.get("dim_feedforward", 2048))
+                              dim_feedforward=kwargs.get("dim_feedforward", 2048),
+                              dtype=transformer_dtype)
     fp = GOTFilterPredictor(transformer, feature_sz=feature_sz, num_tokens=num_tokens,
                             box_enc=box_enc)
     return TaMOsNet(feature_extractor=backbone, head_feature_extractor=head_fe,

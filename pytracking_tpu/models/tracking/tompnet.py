@@ -81,9 +81,11 @@ def tompnet50(filter_size: int = 4, head_layer: str = "layer3",
               num_encoder_layers: int = 6, num_decoder_layers: int = 6,
               dim_feedforward: int = 2048, feature_sz: int = 18,
               use_test_frame_encoding: bool = True,
-              backbone_dtype=None, freeze_backbone_bn: bool = False) -> ToMPnet:
+              backbone_dtype=None, transformer_dtype=None,
+              freeze_backbone_bn: bool = False) -> ToMPnet:
     """ToMP-50 (reference tompnet.py:82-121). backbone_dtype=jnp.bfloat16 runs the
-    backbone convs/BN in bf16 (params stay f32)."""
+    backbone convs/BN in bf16 (params stay f32); transformer_dtype=jnp.bfloat16 runs
+    the filter-predictor transformer's matmuls in bf16 (f32 softmax/LayerNorm)."""
     backbone = backbones.resnet50(output_layers=(head_layer,), dtype=backbone_dtype)
     norm_scale = math.sqrt(1.0 / (out_feature_dim * filter_size * filter_size))
     head_fe = ResidualBottleneck(feature_dim=256, num_blocks=head_feat_blocks,
@@ -92,7 +94,8 @@ def tompnet50(filter_size: int = 4, head_layer: str = "layer3",
     transformer = Transformer(d_model=out_feature_dim, nhead=nhead,
                               num_encoder_layers=num_encoder_layers,
                               num_decoder_layers=num_decoder_layers,
-                              dim_feedforward=dim_feedforward)
+                              dim_feedforward=dim_feedforward,
+                              dtype=transformer_dtype)
     fp = FilterPredictor(transformer, feature_sz=feature_sz,
                          use_test_frame_encoding=use_test_frame_encoding)
     classifier = LinearFilterClassifier(num_channels=out_feature_dim)
@@ -105,8 +108,8 @@ def tompnet50(filter_size: int = 4, head_layer: str = "layer3",
 
 def tompnet101(filter_size: int = 4, head_layer: str = "layer3",
                out_feature_dim: int = 512, feature_sz: int = 18,
-               backbone_dtype=None, freeze_backbone_bn: bool = False,
-               **kwargs) -> ToMPnet:
+               backbone_dtype=None, transformer_dtype=None,
+               freeze_backbone_bn: bool = False, **kwargs) -> ToMPnet:
     """ToMP-101 (reference tompnet.py:124-163)."""
     backbone = backbones.resnet101(output_layers=(head_layer,),
                                    dtype=backbone_dtype)
@@ -117,7 +120,8 @@ def tompnet101(filter_size: int = 4, head_layer: str = "layer3",
     transformer = Transformer(d_model=out_feature_dim, nhead=kwargs.get("nhead", 8),
                               num_encoder_layers=kwargs.get("num_encoder_layers", 6),
                               num_decoder_layers=kwargs.get("num_decoder_layers", 6),
-                              dim_feedforward=kwargs.get("dim_feedforward", 2048))
+                              dim_feedforward=kwargs.get("dim_feedforward", 2048),
+                              dtype=transformer_dtype)
     fp = FilterPredictor(transformer, feature_sz=feature_sz)
     head = Head(filter_predictor=fp, feature_extractor=head_fe,
                 classifier=LinearFilterClassifier(num_channels=out_feature_dim),

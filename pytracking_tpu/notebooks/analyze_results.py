@@ -22,12 +22,14 @@ def main():
     parser.add_argument("--report_name", type=str, default="report")
     parser.add_argument("--per_sequence", action="store_true")
     parser.add_argument("--radar", action="store_true")
+    parser.add_argument("--attributes", action="store_true",
+                        help="attribute/scenario-wise AUC table (e.g. the AVisT "
+                             "scenario breakdown of analyze_avist_results.ipynb)")
     args = parser.parse_args()
 
-    from pytracking_tpu.analysis.plot_results import (plot_attributes_radar,
-                                                      plot_results,
-                                                      print_per_sequence_results,
-                                                      print_results)
+    from pytracking_tpu.analysis.plot_results import (
+        plot_attributes_radar, plot_results, print_per_attribute_results,
+        print_per_sequence_results, print_results)
     from pytracking_tpu.evaluation.datasets import get_dataset
     from pytracking_tpu.evaluation.tracker import Tracker
 
@@ -42,8 +44,19 @@ def main():
     plot_results(trackers, dataset, args.report_name)
     if args.per_sequence:
         print_per_sequence_results(trackers, dataset, args.report_name)
+
+    specs = None
+    if args.dataset.startswith("avist"):
+        from pytracking_tpu.evaluation.adapters.avist import load_scenarios
+        sc = load_scenarios()
+        specs = dict(zip(sc.get("att_name_short", []),
+                         sc.get("att_name_long", [])))
+    if args.attributes:
+        print_per_attribute_results(trackers, dataset, args.report_name,
+                                    attribute_specs=specs)
     if args.radar:
-        plot_attributes_radar(trackers, dataset, args.report_name)
+        plot_attributes_radar(trackers, dataset, args.report_name,
+                              attribute_specs=specs)
 
 
 if __name__ == "__main__":

@@ -16,10 +16,15 @@ def parameters() -> TrackerSpec:
 
     env = env_settings()
     ckpt = os.path.join(env.network_path, "tamos_resnet50.msgpack")
+    # PYTRACKING_TPU_BF16=1: bf16 backbone + transformer matmuls (f32 softmax/LN)
+    bf16 = os.environ.get("PYTRACKING_TPU_BF16", "0") == "1"
+    dt = jnp.bfloat16 if bf16 else None
     net = tamosnet_resnet50(feature_sz=max(params.train_feature_size),
-                            num_tokens=params.num_tokens)
+                            num_tokens=params.num_tokens,
+                            backbone_dtype=dt, transformer_dtype=dt)
     if os.path.isfile(ckpt + ".json"):
-        net, variables = load_network(ckpt)
+        net, variables = load_network(ckpt, backbone_dtype=dt,
+                                      transformer_dtype=dt)
     else:
         Hs, Ws = params.image_sample_size
         h, w = params.train_feature_size

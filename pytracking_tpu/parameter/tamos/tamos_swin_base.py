@@ -16,10 +16,14 @@ def parameters() -> TrackerSpec:
 
     env = env_settings()
     ckpt = os.path.join(env.network_path, "tamos_swin_base.msgpack")
+    # PYTRACKING_TPU_BF16=1: bf16 transformer matmuls (f32 softmax/LN)
+    trafo_dtype = jnp.bfloat16 \
+        if os.environ.get("PYTRACKING_TPU_BF16", "0") == "1" else None
     net = tamosnet_swin_base(feature_sz=max(params.train_feature_size),
-                             num_tokens=params.num_tokens)
+                             num_tokens=params.num_tokens,
+                             transformer_dtype=trafo_dtype)
     if os.path.isfile(ckpt + ".json"):
-        net, variables = load_network(ckpt)
+        net, variables = load_network(ckpt, transformer_dtype=trafo_dtype)
     else:
         Hs, Ws = params.image_sample_size
         h, w = params.train_feature_size

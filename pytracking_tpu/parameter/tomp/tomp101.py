@@ -19,10 +19,13 @@ def parameters() -> TrackerSpec:
     bf16 = os.environ.get("PYTRACKING_TPU_BF16_BACKBONE", "0") == "1" or \
         os.environ.get("PYTRACKING_TPU_BF16", "0") == "1"
     backbone_dtype = jnp.bfloat16 if bf16 else None
+    trafo_dtype = jnp.bfloat16 \
+        if os.environ.get("PYTRACKING_TPU_BF16", "0") == "1" else None
     net = tompnet101(feature_sz=params.train_feature_size,
-                     backbone_dtype=backbone_dtype)
+                     backbone_dtype=backbone_dtype, transformer_dtype=trafo_dtype)
     if os.path.isfile(ckpt + ".json"):
-        net, variables = load_network(ckpt, backbone_dtype=backbone_dtype)
+        net, variables = load_network(ckpt, backbone_dtype=backbone_dtype,
+                                      transformer_dtype=trafo_dtype)
     else:
         s = params.image_sample_size
         f = params.train_feature_size

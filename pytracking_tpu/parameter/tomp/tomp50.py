@@ -17,14 +17,19 @@ def parameters() -> TrackerSpec:
     env = env_settings()
     ckpt = os.path.join(env.network_path, "tomp50.msgpack")
     # optional bf16 backbone compute (same knob as dimp50.py, measured there);
-    # PYTRACKING_TPU_BF16=1 additionally stores all f32 params as bf16
+    # PYTRACKING_TPU_BF16=1 additionally stores all f32 params as bf16 AND runs
+    # the filter-predictor transformer's matmuls in bf16 (the FLOP hot spot —
+    # scripts/profile_tomp.py), with f32 softmax/LayerNorm for stability
     bf16 = os.environ.get("PYTRACKING_TPU_BF16_BACKBONE", "0") == "1" or \
         os.environ.get("PYTRACKING_TPU_BF16", "0") == "1"
     backbone_dtype = jnp.bfloat16 if bf16 else None
+    trafo_dtype = jnp.bfloat16 \
+        if os.environ.get("PYTRACKING_TPU_BF16", "0") == "1" else None
     net = tompnet50(feature_sz=params.train_feature_size,
-                    backbone_dtype=backbone_dtype)
+                    backbone_dtype=backbone_dtype, transformer_dtype=trafo_dtype)
     if os.path.isfile(ckpt + ".json"):
-        net, variables = load_network(ckpt, backbone_dtype=backbone_dtype)
+        net, variables = load_network(ckpt, backbone_dtype=backbone_dtype,
+                                      transformer_dtype=trafo_dtype)
     else:
         s = params.image_sample_size
         f = params.train_feature_size

@@ -276,7 +276,12 @@ class TaMOsTracker(BaseTracker):
         labels = jnp.where(valid[:, None, None], labels, 0.0)
 
         M = p.sample_memory_size
-        mem_samples = jnp.zeros((M,) + x.shape[1:]).at[0].set(x[0])
+        # memory caches EXTRACTED head features (the reference re-runs the head
+        # feature extractor on the whole memory every frame, tamos.py:290; the
+        # extractor is per-sample deterministic so store-time extraction is
+        # mathematically identical and cheaper per frame)
+        x_head = self._head_feat_mem(x)[:, 0]                  # (1, h, w, C)
+        mem_samples = jnp.zeros((M,) + x_head.shape[1:]).at[0].set(x_head[0])
         mem_labels = jnp.zeros((M, K, h, w)).at[0].set(labels)
         # boxes in sample coordinates (isotropic scale)
         sample_boxes = boxes * sfac
@@ -312,7 +317,7 @@ class TaMOsTracker(BaseTracker):
         M = p.sample_memory_size
         frame_mask = jnp.arange(M) < state.num_stored
 
-        train_feat = self._head_feat_mem(state.mem_samples)
+        train_feat = state.mem_samples[:, None]    # cached extracted head feats
         test_feat = self._head_feat_mem(test_x)
 
         # parallel cls/bbreg filter prediction with LTRB box-token encodings
@@ -395,7 +400,8 @@ class TaMOsTracker(BaseTracker):
              state.target_sz[:, ::-1]], axis=-1)
         sample_boxes = cur_boxes * sfac
         sample_boxes = jnp.where(state.obj_valid[:, None], sample_boxes, 0.0)
-        state = self._update_memory(state, test_x[0], labels, sample_boxes,
+        # store this frame's EXTRACTED head feature (already computed above)
+        state = self._update_memory(state, test_feat[0, 0], labels, sample_boxes,
                                     lr, do_update)
 
         boxes = jnp.concatenate([state.pos[:, ::-1] - (state.target_sz[:, ::-1] - 1)

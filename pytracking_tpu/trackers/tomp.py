@@ -78,7 +78,12 @@ class ToMPState(struct.PyTreeNode):
     min_scale: jnp.ndarray
     max_scale: jnp.ndarray
     sigma: jnp.ndarray
-    mem_samples: jnp.ndarray         # (M, Hf, Wf, Cb) backbone head-layer features
+    # (M, h, w, C') EXTRACTED head features. The reference stores backbone
+    # head-layer features and re-runs head.extract_head_feat on the whole memory
+    # every frame (tomp.py:285-290); since the extractor is per-sample
+    # deterministic, extracting once at store time is mathematically identical
+    # and removes M per-frame ResidualBottleneck passes from the hot step.
+    mem_samples: jnp.ndarray
     mem_labels: jnp.ndarray          # (M, Hf, Wf)
     mem_boxes: jnp.ndarray           # (M, 4) xywh patch coords
     mem_weights: jnp.ndarray         # (M,)
@@ -200,7 +205,8 @@ class ToMPTracker(BaseTracker):
         sample_scale = jnp.sqrt(jnp.prod((coords[2:] - coords[:2]) / support))
 
         backbone_feat = self._backbone(patch[None])
-        x = self._head_feat(backbone_feat)                     # (1, Hf, Wf, Cb)
+        x = self._extract_head(self._head_feat(backbone_feat)[:, None])[:, 0]
+        # x (1, h, w, C') extracted head feature — memory stores these directly
 
         target_box = _get_iounet_box(pos, target_sz, sample_pos, sample_scale, support)
 
@@ -274,7 +280,7 @@ class ToMPTracker(BaseTracker):
         M = p.sample_memory_size
         slot_valid = jnp.arange(M) < state.num_stored
         gth_mask = jnp.arange(M) < state.num_init             # slot 0 = gt frame
-        train_feat = self._extract_head(state.mem_samples[:, None])   # (M,1,h,w,C)
+        train_feat = state.mem_samples[:, None]               # (M,1,h,w,C) cached
         test_feat = self._extract_head(test_x[:, None])               # (1,1,h,w,C)
         train_ltrb = self._encode_ltrb(state.mem_boxes)[:, None]      # (M,1,h,w,4)
         train_label = state.mem_labels[:, None]                       # (M,1,h,w)
@@ -346,7 +352,9 @@ class ToMPTracker(BaseTracker):
                                      sample_scale, support)
         center = feat_sz * (state.pos - sample_pos) / (sample_scale * support)
         y = self._label(center[None], feat_sz, state.sigma)[0]
-        state = self._update_memory(state, test_x[0], y, target_box, lr, do_update)
+        # store this frame's EXTRACTED head feature (already computed above)
+        state = self._update_memory(state, test_feat[0, 0], y, target_box, lr,
+                                    do_update)
 
         state = state.replace(flag=flag.astype(jnp.int32), max_score=max_score)
         out_bbox = jnp.concatenate([state.pos[::-1] - (state.target_sz[::-1] - 1) / 2,

@@ -329,6 +329,8 @@ def main():
             measure_jit_track("tomp50", "tomp.tomp50", ToMPTracker)
         elif t == "tamos_swin":
             measure_jit_track("tamos_swin", "tamos.tamos_swin_base", TaMOsTracker)
+        elif t == "tamos_r50":
+            measure_jit_track("tamos_r50", "tamos.tamos_resnet50", TaMOsTracker)
         elif t == "keep_track":
             measure_keep_track()
         elif t == "keep_track_device":

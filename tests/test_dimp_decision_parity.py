@@ -313,7 +313,7 @@ def test_kys_fused_decision_paths_match_reference():
         dimp_thresh=0.05), variables)
     mine._classify = lambda w, f: jnp.asarray(
         current["dimp"]).reshape(1, SZ, SZ, 1)
-    mine._predict_response = lambda mp, mc, sp, ds, il, win: (
+    mine._predict_response = lambda mp, mc, sp, ds, il, win, state_valid=None: (
         jnp.asarray(current["fused"]).reshape(1, KSZ, KSZ, 1),
         jnp.zeros_like(sp), None)
 

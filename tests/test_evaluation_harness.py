@@ -133,3 +133,50 @@ def test_create_tracker_vmap_multiobj_route(monkeypatch):
     monkeypatch.setenv("PYTRACKING_TPU_VMAP_MULTIOBJ", "1")
     assert isinstance(t.create_tracker(multiobj=True), FakeVmapTracker)
     assert t.create_tracker(multiobj=False).kind == "single"
+
+
+def test_per_attribute_scenario_table(tmp_path, capsys):
+    """AVisT-style scenario breakdown: sequences carrying attribute codes are
+    grouped into a per-scenario AUC table (reference
+    notebooks/analyze_avist_results.ipynb + plot_results.py:588-624)."""
+    os.environ["PYTRACKING_TPU_ROOT"] = str(tmp_path)
+    import pytracking_tpu.evaluation.environment as envmod
+    envmod._env_settings = None
+
+    from pytracking_tpu.analysis.plot_results import print_per_attribute_results
+
+    ds = get_dataset("synthetic")
+    # attach AVisT-style scenario codes to the synthetic sequences
+    codes = [["R", "FO"], ["R"], ["LL"]]
+    for seq, att in zip(ds, codes):
+        seq.attributes = att
+
+    wrappers = []
+    for seq in ds:
+        w = WrapperStub(str(tmp_path / "tracking_results" / "oracle" / "default"),
+                        seq, noise=2.0)
+        run_sequence(seq, w, debug=0)
+        wrappers.append(w)
+
+    capsys.readouterr()
+    table = print_per_attribute_results(
+        [wrappers[0]], ds, report_name="attr_report",
+        attribute_specs={"R": "Rain", "FO": "Fog", "LL": "Low-light"})
+    out = capsys.readouterr().out
+    assert set(table) == {"R", "FO", "LL"}
+    assert "Rain" in out and "Low-light" in out
+    # oracle tracker: every scenario AUC is high
+    for row in table.values():
+        assert row["oracle_default"] > 70.0
+
+
+def test_avist_scenario_spec_loads():
+    from pytracking_tpu.evaluation.adapters.avist import load_scenarios
+    sc = load_scenarios()
+    assert len(sc["att_name_short"]) == len(sc["att_name_long"]) == 18
+    # every sequence entry uses known short codes
+    known = set(sc["att_name_short"])
+    seq_entries = {k: v for k, v in sc.items() if not k.startswith("att_")}
+    assert len(seq_entries) > 100
+    for v in seq_entries.values():
+        assert set(v) <= known

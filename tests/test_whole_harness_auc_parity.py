@@ -416,7 +416,11 @@ def test_whole_harness_auc_parity(tmp_path):
         assert abs(my_aucs[name]["prec_auc"] - ref_aucs[name]["prec_auc"]) <= 2.0, \
             f"{name}: precision curve {my_aucs[name]['prec_auc']:.2f} vs " \
             f"reference {ref_aucs[name]['prec_auc']:.2f}"
-        assert abs(my_aucs[name]["prec20"] - ref_aucs[name]["prec20"]) <= 10.0, \
+        # prec@20 is a hard threshold on a 70-frame benchmark: one frame = 1.43
+        # points. Measured deltas: dimp +5.71 (4 frames at the 20px boundary
+        # inside the documented sub-pixel crop-convention band, OURS the higher),
+        # tomp 0.00, atom 0.00 — so 6.0 = measured worst case + one frame.
+        assert abs(my_aucs[name]["prec20"] - ref_aucs[name]["prec20"]) <= 6.0, \
             f"{name}: precision@20 {my_aucs[name]['prec20']:.2f} vs reference " \
             f"{ref_aucs[name]['prec20']:.2f}"
 
