@@ -85,7 +85,7 @@ def _resample_weights(src_coords: jnp.ndarray, src_size: int,
 def sample_patch(im: jnp.ndarray, pos: jnp.ndarray, sample_sz: jnp.ndarray,
                  output_sz: Tuple[int, int], mode: str = "replicate",
                  max_scale_change=None, aa_taps: int = 2,
-                 is_mask: bool = False) -> Tuple[jnp.ndarray, jnp.ndarray]:
+                 is_mask: bool = False, im_sz=None) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Extract a patch of (traced) extent `sample_sz` centered at (traced) `pos` from
     im (H, W, C), resampled to static `output_sz` (oh, ow).
 
@@ -95,6 +95,12 @@ def sample_patch(im: jnp.ndarray, pos: jnp.ndarray, sample_sz: jnp.ndarray,
     triangle-filter rows double as area anti-aliasing when downsampling (the
     reference's integer pre-decimation, preprocessing.py:88-103).
 
+    `im_sz`: optional traced (2,) TRUE image size when `im` has been bucket-padded
+    (edge-replicate) to a larger static shape so heterogeneous frame sizes share one
+    compiled program. Only the 'inside'/'inside_major' shrink math needs the true
+    size — replicate-border reads into the pad region already return border values
+    because the padding replicates them.
+
     Returns (patch (oh, ow, C), coords (4,) = [tl_y, tl_x, br_y, br_x] in image coords —
     the actual extent sampled, for mapping results back).
     """
@@ -103,7 +109,8 @@ def sample_patch(im: jnp.ndarray, pos: jnp.ndarray, sample_sz: jnp.ndarray,
     pos = jnp.asarray(pos, jnp.float32)
     sample_sz = jnp.asarray(sample_sz, jnp.float32)
     if mode in ("inside", "inside_major"):
-        pos, sample_sz = _shrink_inside(pos, sample_sz, im.shape[:2], mode, max_scale_change)
+        true_sz = im.shape[:2] if im_sz is None else im_sz
+        pos, sample_sz = _shrink_inside(pos, sample_sz, true_sz, mode, max_scale_change)
 
     scale = sample_sz / jnp.asarray([oh, ow], jnp.float32)
     j = (jnp.arange(oh, dtype=jnp.float32) + 0.5) / oh - 0.5
@@ -134,11 +141,12 @@ def sample_patch(im: jnp.ndarray, pos: jnp.ndarray, sample_sz: jnp.ndarray,
 def sample_patch_multiscale(im: jnp.ndarray, pos: jnp.ndarray, scales: jnp.ndarray,
                             base_sz: jnp.ndarray, output_sz: Tuple[int, int],
                             mode: str = "replicate", max_scale_change=None,
-                            aa_taps: int = 2) -> Tuple[jnp.ndarray, jnp.ndarray]:
+                            aa_taps: int = 2, im_sz=None) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Patches at multiple scales (reference preprocessing.py:33-52): scales (S,) traced,
     returns (S, oh, ow, C) and coords (S, 4)."""
     fn = lambda s: sample_patch(im, pos, s * base_sz, output_sz, mode=mode,
-                                max_scale_change=max_scale_change, aa_taps=aa_taps)
+                                max_scale_change=max_scale_change, aa_taps=aa_taps,
+                                im_sz=im_sz)
     return jax.vmap(fn)(jnp.atleast_1d(jnp.asarray(scales, jnp.float32)))
 
 

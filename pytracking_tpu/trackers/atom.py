@@ -262,7 +262,8 @@ class ATOMTracker(BaseTracker):
     # ---------------------------------------------------------------- initialize
 
     def initialize(self, image, info: Dict[str, Any]) -> dict:
-        im = jnp.asarray(image)
+        im_np, true_hw = self._prepare_image(image)
+        im = jnp.asarray(im_np)
         bbox = np.asarray(info["init_bbox"], np.float32)
         target_sz = np.array([bbox[3], bbox[2]])
         sample_sz, target_scale = self._compute_sample_sz(target_sz)
@@ -270,34 +271,56 @@ class ATOMTracker(BaseTracker):
         self._aug_rng = np.random.RandomState(self._seed)
         key = jax.random.PRNGKey(self._seed)
 
-        fn = self._jit_cache.get(("init", im.shape, sample_sz))
+        crop = self._jit_cache.get(("init_crop", im.shape, sample_sz))
+        if crop is None:
+            crop = jax.jit(functools.partial(self._init_crop_impl,
+                                             sample_sz=sample_sz))
+            self._jit_cache[("init_crop", im.shape, sample_sz)] = crop
+        fn = self._jit_cache.get(("init", sample_sz))
         if fn is None:
             fn = self._jit_with_variables(
-                functools.partial(self._initialize_impl, sample_sz=sample_sz))
-            self._jit_cache[("init", im.shape, sample_sz)] = fn
-        self.state = fn(self.variables, im, jnp.asarray(bbox),
-                        jnp.asarray(target_scale), key)
+                functools.partial(self._initialize_from_patch,
+                                  sample_sz=sample_sz))
+            self._jit_cache[("init", sample_sz)] = fn
+        image_sz_arr = jnp.asarray(true_hw, jnp.float32)
+        base_patch = crop(im, jnp.asarray(bbox), jnp.asarray(target_scale),
+                          image_sz_arr)
+        self.state = fn(self.variables, base_patch, jnp.asarray(bbox),
+                        jnp.asarray(target_scale), key, image_sz_arr)
         return {}
 
-    def _initialize_impl(self, im, bbox, target_scale, key, *, sample_sz: int
-                         ) -> ATOMState:
+    def _init_crop_impl(self, im, bbox, target_scale, image_sz, *,
+                        sample_sz: int):
         p = self.params
         im = im.astype(jnp.float32)
         pos = jnp.array([bbox[1] + (bbox[3] - 1) / 2, bbox[0] + (bbox[2] - 1) / 2])
+        init_pos = jnp.round(pos)
+        exp_sz = int(round(sample_sz * p.augmentation_expansion_factor))
+        exp_sz += (exp_sz - sample_sz) % 2
+        base_patch, _ = sample_patch(im, init_pos, target_scale * exp_sz * jnp.ones(2),
+                                     (exp_sz, exp_sz), mode=p.border_mode,
+                                     im_sz=image_sz)
+        return base_patch
+
+    def _initialize_impl(self, im, bbox, target_scale, key, image_sz, *,
+                         sample_sz: int) -> ATOMState:
+        base_patch = self._init_crop_impl(im, bbox, target_scale, image_sz,
+                                          sample_sz=sample_sz)
+        return self._initialize_from_patch(base_patch, bbox, target_scale, key,
+                                           image_sz, sample_sz=sample_sz)
+
+    def _initialize_from_patch(self, base_patch, bbox, target_scale, key,
+                               image_sz, *, sample_sz: int) -> ATOMState:
+        p = self.params
+        pos = jnp.array([bbox[1] + (bbox[3] - 1) / 2, bbox[0] + (bbox[2] - 1) / 2])
         target_sz = jnp.array([bbox[3], bbox[2]])
-        image_sz = jnp.array(im.shape[:2], jnp.float32)
         base_target_sz = target_sz / target_scale
         min_scale = jnp.max(10.0 / base_target_sz)
         max_scale = jnp.min(image_sz / base_target_sz)
         feat_sz = sample_sz // p.feature_stride
         support = float(sample_sz)
 
-        # ---- augmented patches (reference atom.py:473-525)
         init_pos = jnp.round(pos)
-        exp_sz = int(round(sample_sz * p.augmentation_expansion_factor))
-        exp_sz += (exp_sz - sample_sz) % 2
-        base_patch, _ = sample_patch(im, init_pos, target_scale * exp_sz * jnp.ones(2),
-                                     (exp_sz, exp_sz), mode=p.border_mode)
         augs = p.aug_dict()
         transforms = aug.build_transforms(
             {k: v for k, v in augs.items() if k != "dropout"},
@@ -433,13 +456,21 @@ class ATOMTracker(BaseTracker):
     # ---------------------------------------------------------------- track
 
     def track_async(self, image, info: Optional[dict] = None):
-        im = jnp.asarray(image)
-        fn = self._jit_cache.get(("track", im.shape, self._sample_sz))
+        im_np, _ = self._prepare_image(image)
+        im = jnp.asarray(im_np)
+        crop = self._jit_cache.get(("crop", im.shape, self._sample_sz))
+        if crop is None:
+            crop = jax.jit(functools.partial(self._track_crop_impl,
+                                             sample_sz=self._sample_sz))
+            self._jit_cache[("crop", im.shape, self._sample_sz)] = crop
+        fn = self._jit_cache.get(("track", self._sample_sz))
         if fn is None:
             fn = self._jit_with_variables(
-                functools.partial(self._track_impl, sample_sz=self._sample_sz))
-            self._jit_cache[("track", im.shape, self._sample_sz)] = fn
-        self.state, out = fn(self.variables, self.state, im)
+                functools.partial(self._track_from_patch,
+                                  sample_sz=self._sample_sz))
+            self._jit_cache[("track", self._sample_sz)] = fn
+        patches = crop(self.state, im)
+        self.state, out = fn(self.variables, self.state, patches)
         return out
 
     def fetch_output(self, out) -> dict:
@@ -453,9 +484,26 @@ class ATOMTracker(BaseTracker):
     def track(self, image, info: Optional[dict] = None) -> dict:
         return self.fetch_output(self.track_async(image, info))
 
-    def _track_impl(self, state: ATOMState, im, *, sample_sz: int):
+    def _track_crop_impl(self, state: ATOMState, im, *, sample_sz: int):
+        """Shape-specialized head of the track step: the 5-scale crop pyramid
+        only — a new frame-shape bucket recompiles just these warp matmuls."""
         p = self.params
         im = im.astype(jnp.float32)
+        support = jnp.full(2, float(sample_sz))
+        sample_pos = jnp.round(state.pos)
+        scale_factors = jnp.asarray(p.scale_factors) * state.target_scale
+        return jax.vmap(
+            lambda s: sample_patch(im, sample_pos, s * support,
+                                   (sample_sz, sample_sz), mode=p.border_mode,
+                                   im_sz=state.image_sz)[0]
+        )(scale_factors)
+
+    def _track_impl(self, state: ATOMState, im, *, sample_sz: int):
+        patches = self._track_crop_impl(state, im, sample_sz=sample_sz)
+        return self._track_from_patch(state, patches, sample_sz=sample_sz)
+
+    def _track_from_patch(self, state: ATOMState, patches, *, sample_sz: int):
+        p = self.params
         support = jnp.full(2, float(sample_sz))
         feat_sz = sample_sz // p.feature_stride
         out_sz = p.score_upsample_factor * sample_sz
@@ -464,11 +512,6 @@ class ATOMTracker(BaseTracker):
         sample_pos = jnp.round(state.pos)
         scale_factors = jnp.asarray(p.scale_factors) * state.target_scale
         S = len(p.scale_factors)
-
-        patches = jax.vmap(
-            lambda s: sample_patch(im, sample_pos, s * support,
-                                   (sample_sz, sample_sz), mode=p.border_mode)[0]
-        )(scale_factors)
 
         backbone_feat = self._backbone(patches)
         feat = self._normalize_feat(backbone_feat["layer3"])     # (S, Hf, Wf, C)

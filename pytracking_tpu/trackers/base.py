@@ -14,17 +14,54 @@ returned arrays can be fetched asynchronously by the harness.
 
 from __future__ import annotations
 
-from typing import Any, Dict, Optional
+import os
+from typing import Any, Dict, Optional, Tuple
+
+import numpy as np
+
+
+def _shape_bucket_granularity() -> int:
+    """Bucket granularity for frame-shape padding (0 disables).
+
+    Each compiled track step is specialized on the static frame shape; a
+    heterogeneous benchmark sweep (LaSOT mixes 720p/480p/360p/odd sizes) would
+    otherwise pay one full XLA compile per distinct shape (the reference's eager
+    torch trackers pay zero compile — running.py:138 runs cold). Rounding H and W
+    up to the next multiple of the granularity collapses nearby shapes onto one
+    program. Padding is edge-replicate, so replicate-border patch reads are
+    unchanged; the true size is threaded through the jit as a traced (2,) array
+    for the 'inside' border modes and position clamping."""
+    return int(os.environ.get("PYTRACKING_TPU_SHAPE_BUCKETS", "128"))
 
 
 class BaseTracker:
     multiobj_mode = "parallel"
     predicts_segmentation_mask = False
+    # VOS trackers (image-shaped mask outputs threaded through the multi-object
+    # merge) opt out of frame-shape bucketing — their benchmarks (DAVIS 480p,
+    # YT-VOS) are shape-homogeneous, so the compile win is marginal and the
+    # padded-mask plumbing isn't worth it.
+    supports_shape_buckets = True
 
     def __init__(self, params):
         self.params = params
         self.visdom = None
         self._debug_outputs = False
+
+    def _prepare_image(self, image) -> Tuple[np.ndarray, Tuple[int, int]]:
+        """Pad a host frame (H, W[, C]) up to its shape bucket with edge-replicate
+        padding. Returns (padded array, true (H, W)). With bucketing disabled
+        (PYTRACKING_TPU_SHAPE_BUCKETS=0) this is the identity."""
+        arr = np.asarray(image)
+        h, w = int(arr.shape[0]), int(arr.shape[1])
+        g = _shape_bucket_granularity()
+        if g <= 0 or not self.supports_shape_buckets:
+            return arr, (h, w)
+        hb, wb = -(-h // g) * g, -(-w // g) * g
+        if (hb, wb) == (h, w):
+            return arr, (h, w)
+        pad = [(0, hb - h), (0, wb - w)] + [(0, 0)] * (arr.ndim - 2)
+        return np.pad(arr, pad, mode="edge"), (h, w)
 
     def enable_debug_outputs(self):
         """Include per-frame debug arrays (score maps, sample geometry) in the

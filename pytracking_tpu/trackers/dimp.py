@@ -177,6 +177,21 @@ class DiMPTracker(BaseTracker):
         self.variables = jax.device_put(variables)
         self._jit_init = self._jit_with_variables(self._initialize_impl)
         self._jit_track = self._jit_with_variables(self._track_impl, donate_state=True)  # state buffers (inc. the ~33MB sample memory) are reused in place
+        # Split dispatch (host path only): a tiny SHAPE-SPECIALIZED crop program
+        # + one shape-independent heavy program. A new frame-shape bucket then
+        # recompiles only the 2-matmul warp (seconds), not the full network
+        # step (tens of seconds on TPU). The fused _track_impl/_initialize_impl
+        # remain the scan-harness/serving entry points. Subclasses participate
+        # by overriding _track_from_patch (not _track_impl); a subclass that
+        # overrides the fused impls directly falls back to fused dispatch.
+        self._jit_crop = jax.jit(self._track_crop_impl)
+        self._jit_track_patch = self._jit_with_variables(self._track_from_patch,
+                                                         donate_state=True)
+        self._jit_init_crop = jax.jit(self._init_crop_impl)
+        self._jit_init_patch = self._jit_with_variables(self._initialize_from_patch)
+        cls = type(self)
+        self._split_track = cls._track_impl is DiMPTracker._track_impl
+        self._split_init = cls._initialize_impl is DiMPTracker._initialize_impl
         self.state: Optional[DiMPState] = None
         self._seed = 0
 
@@ -241,20 +256,50 @@ class DiMPTracker(BaseTracker):
 
     def initialize(self, image, info: Dict[str, Any]) -> dict:
         """Host entry: image (H, W, 3) uint8/float RGB, info['init_bbox'] = [x,y,w,h]."""
-        im = jnp.asarray(image)
+        im_np, true_hw = self._prepare_image(image)
+        im = jnp.asarray(im_np)
         bbox = jnp.asarray(info["init_bbox"], jnp.float32)
         key = jax.random.PRNGKey(self._seed)
         # static host-side randomness for augmentation shifts (once per sequence)
         self._aug_rng = np.random.RandomState(self._seed)
-        self.state = self._jit_init(self.variables, im, bbox, key)
+        image_sz = jnp.asarray(true_hw, jnp.float32)
+        if self._split_init:
+            base_patch = self._jit_init_crop(im, bbox, image_sz)
+            self.state = self._jit_init_patch(self.variables, base_patch, bbox,
+                                              key, image_sz)
+        else:
+            self.state = self._jit_init(self.variables, im, bbox, key, image_sz)
         return {}
 
-    def _initialize_impl(self, im, bbox, key) -> DiMPState:
+    def _init_crop_impl(self, im, bbox, image_sz):
+        """Shape-specialized head of initialize: crop geometry + warp only —
+        everything downstream operates on the fixed-size base patch."""
         p = self.params
         im = im.astype(jnp.float32)
         pos = jnp.array([bbox[1] + (bbox[3] - 1) / 2, bbox[0] + (bbox[2] - 1) / 2])
         target_sz = jnp.array([bbox[3], bbox[2]])
-        image_sz = jnp.array(im.shape[:2], jnp.float32)
+        img_sample_sz = jnp.array(self._img_sample_sz, jnp.float32)
+        search_area = jnp.prod(target_sz * p.search_area_scale)
+        target_scale = jnp.sqrt(search_area) / jnp.sqrt(jnp.prod(img_sample_sz))
+        init_sample_pos = jnp.round(pos)
+        aug_exp = p.augmentation_expansion_factor
+        exp_sz = int(round(p.image_sample_size * aug_exp))
+        exp_sz += (exp_sz - p.image_sample_size) % 2
+        base_patch, _ = sample_patch(im, init_sample_pos,
+                                     target_scale * exp_sz * jnp.ones(2),
+                                     (exp_sz, exp_sz), mode=p.border_mode,
+                                     max_scale_change=p.patch_max_scale_change,
+                                     im_sz=image_sz)
+        return base_patch
+
+    def _initialize_impl(self, im, bbox, key, image_sz) -> DiMPState:
+        base_patch = self._init_crop_impl(im, bbox, image_sz)
+        return self._initialize_from_patch(base_patch, bbox, key, image_sz)
+
+    def _initialize_from_patch(self, base_patch, bbox, key, image_sz) -> DiMPState:
+        p = self.params
+        pos = jnp.array([bbox[1] + (bbox[3] - 1) / 2, bbox[0] + (bbox[2] - 1) / 2])
+        target_sz = jnp.array([bbox[3], bbox[2]])
         img_sample_sz = jnp.array(self._img_sample_sz, jnp.float32)
 
         search_area = jnp.prod(target_sz * p.search_area_scale)
@@ -263,16 +308,8 @@ class DiMPTracker(BaseTracker):
         min_scale = jnp.max(10.0 / base_target_sz)
         max_scale = jnp.min(image_sz / base_target_sz)
 
-        # ---- augmented init patches (reference generate_init_samples dimp.py:329-397)
         init_sample_pos = jnp.round(pos)
         init_sample_scale = target_scale
-        aug_exp = p.augmentation_expansion_factor
-        exp_sz = int(round(p.image_sample_size * aug_exp))
-        exp_sz += (exp_sz - p.image_sample_size) % 2
-        base_patch, _ = sample_patch(im, init_sample_pos,
-                                     init_sample_scale * exp_sz * jnp.ones(2),
-                                     (exp_sz, exp_sz), mode=p.border_mode,
-                                     max_scale_change=p.patch_max_scale_change)
 
         augs = p.aug_dict()
         transforms = aug.build_transforms(
@@ -334,8 +371,14 @@ class DiMPTracker(BaseTracker):
     def track_async(self, image, info: Optional[dict] = None):
         """Upload the frame (uint8 — 3x less tunnel traffic than float32) and enqueue
         the jitted step; returns un-materialized device outputs."""
-        im = jnp.asarray(image)
-        self.state, out = self._jit_track(self.variables, self.state, im)
+        im_np, _ = self._prepare_image(image)
+        im = jnp.asarray(im_np)
+        if self._split_track:
+            patch, coords = self._jit_crop(self.state, im)
+            self.state, out = self._jit_track_patch(self.variables, self.state,
+                                                    patch, coords)
+        else:
+            self.state, out = self._jit_track(self.variables, self.state, im)
         return out
 
     def fetch_output(self, out) -> dict:
@@ -353,9 +396,29 @@ class DiMPTracker(BaseTracker):
     def track(self, image, info: Optional[dict] = None) -> dict:
         return self.fetch_output(self.track_async(image, info))
 
-    def _track_impl(self, state: DiMPState, im) -> Tuple[DiMPState, dict]:
+    def _track_crop_impl(self, state: DiMPState, im):
+        """Shape-specialized head of the track step (dimp.py:106-113): crop
+        geometry + the sample_patch warp. Everything downstream
+        (_track_from_patch) is independent of the frame's static shape."""
         p = self.params
         im = im.astype(jnp.float32)
+        img_sample_sz = jnp.array(self._img_sample_sz, jnp.float32)
+        feat_sz = float(self._feature_sz)
+        centered_pos = state.pos + ((feat_sz + p.kernel_size) % 2) * \
+            state.target_scale * img_sample_sz / (2 * feat_sz)
+        return sample_patch(im, centered_pos,
+                            state.target_scale * img_sample_sz,
+                            self._img_sample_sz, mode=p.border_mode,
+                            max_scale_change=p.patch_max_scale_change,
+                            im_sz=state.image_sz)
+
+    def _track_impl(self, state: DiMPState, im) -> Tuple[DiMPState, dict]:
+        patch, coords = self._track_crop_impl(state, im)
+        return self._track_from_patch(state, patch, coords)
+
+    def _track_from_patch(self, state: DiMPState, patch, coords
+                          ) -> Tuple[DiMPState, dict]:
+        p = self.params
         img_sample_sz = jnp.array(self._img_sample_sz, jnp.float32)
         feat_sz = float(self._feature_sz)
         score_sz = float(self._score_sz)
@@ -366,13 +429,6 @@ class DiMPTracker(BaseTracker):
 
         state = state.replace(frame_num=state.frame_num + 1)
 
-        # ---- sample the search region (dimp.py:106-113)
-        centered_pos = state.pos + ((feat_sz + p.kernel_size) % 2) * \
-            state.target_scale * img_sample_sz / (2 * feat_sz)
-        patch, coords = sample_patch(im, centered_pos,
-                                     state.target_scale * img_sample_sz,
-                                     self._img_sample_sz, mode=p.border_mode,
-                                     max_scale_change=p.patch_max_scale_change)
         sample_pos = 0.5 * (coords[:2] + coords[2:])
         sample_scale = jnp.sqrt(jnp.prod((coords[2:] - coords[:2]) / img_sample_sz))
 

@@ -252,7 +252,8 @@ class ECOTracker(BaseTracker):
 
     def initialize(self, image, info: Dict[str, Any]) -> dict:
         p = self.params
-        im = jnp.asarray(image)
+        im_np, true_hw = self._prepare_image(image)
+        im = jnp.asarray(im_np)
         bbox = np.asarray(info["init_bbox"], np.float32)
         target_sz = np.array([bbox[3], bbox[2]])
         sample_sz, target_scale, feat_szs, filt_szs = self._compute_sizes(target_sz)
@@ -280,34 +281,60 @@ class ECOTracker(BaseTracker):
         self._static = {"yfs": yfs, "reg_windows": reg_windows,
                         "reg_energies": reg_energies}
 
-        fn = self._jit_cache.get(("init", im.shape, sample_sz))
+        ckey = ("init_crop", im.shape, sample_sz)
+        crop = self._jit_cache.get(ckey)
+        if crop is None:
+            crop = jax.jit(functools.partial(self._init_crop_impl,
+                                             sample_sz=sample_sz))
+            self._jit_cache[ckey] = crop
+        fn = self._jit_cache.get(("init", sample_sz))
         if fn is None:
             fn = self._jit_with_variables(
-                functools.partial(self._initialize_impl, sample_sz=sample_sz,
+                functools.partial(self._initialize_from_patch,
+                                  sample_sz=sample_sz,
                                   feat_szs=tuple(feat_szs),
                                   filt_szs=tuple(filt_szs)))
-            self._jit_cache[("init", im.shape, sample_sz)] = fn
-        self.state = fn(self.variables, im, jnp.asarray(bbox),
-                        jnp.asarray(target_scale), key, yfs, reg_windows)
+            self._jit_cache[("init", sample_sz)] = fn
+        image_sz_arr = jnp.asarray(true_hw, jnp.float32)
+        base_patch = crop(im, jnp.asarray(bbox), jnp.asarray(target_scale),
+                          image_sz_arr)
+        self.state = fn(self.variables, base_patch, jnp.asarray(bbox),
+                        jnp.asarray(target_scale), key, yfs, reg_windows,
+                        image_sz_arr)
         return {}
 
-    def _initialize_impl(self, im, bbox, target_scale, key, yfs, reg_windows, *,
-                         sample_sz, feat_szs, filt_szs) -> ECOState:
+    def _init_crop_impl(self, im, bbox, target_scale, image_sz, *, sample_sz):
         p = self.params
         im = im.astype(jnp.float32)
         pos = jnp.array([bbox[1] + (bbox[3] - 1) / 2, bbox[0] + (bbox[2] - 1) / 2])
-        target_sz = jnp.array([bbox[3], bbox[2]])
-        image_sz = jnp.array(im.shape[:2], jnp.float32)
-        base_target_sz = target_sz / target_scale
-        min_scale = jnp.max(10.0 / base_target_sz)
-        max_scale = jnp.min(image_sz / base_target_sz)
-
-        # augmented patches
         init_pos = jnp.round(pos)
         exp_sz = int(round(sample_sz * p.augmentation_expansion_factor))
         exp_sz += (exp_sz - sample_sz) % 2
         base_patch, _ = sample_patch(im, init_pos, target_scale * exp_sz * jnp.ones(2),
-                                     (exp_sz, exp_sz), mode=p.border_mode)
+                                     (exp_sz, exp_sz), mode=p.border_mode,
+                                     im_sz=image_sz)
+        return base_patch
+
+    def _initialize_impl(self, im, bbox, target_scale, key, yfs, reg_windows,
+                         image_sz, *, sample_sz, feat_szs, filt_szs) -> ECOState:
+        base_patch = self._init_crop_impl(im, bbox, target_scale, image_sz,
+                                          sample_sz=sample_sz)
+        return self._initialize_from_patch(base_patch, bbox, target_scale, key,
+                                           yfs, reg_windows, image_sz,
+                                           sample_sz=sample_sz,
+                                           feat_szs=feat_szs, filt_szs=filt_szs)
+
+    def _initialize_from_patch(self, base_patch, bbox, target_scale, key, yfs,
+                               reg_windows, image_sz, *, sample_sz, feat_szs,
+                               filt_szs) -> ECOState:
+        p = self.params
+        pos = jnp.array([bbox[1] + (bbox[3] - 1) / 2, bbox[0] + (bbox[2] - 1) / 2])
+        target_sz = jnp.array([bbox[3], bbox[2]])
+        base_target_sz = target_sz / target_scale
+        min_scale = jnp.max(10.0 / base_target_sz)
+        max_scale = jnp.min(image_sz / base_target_sz)
+
+        init_pos = jnp.round(pos)
         augs = p.aug_dict()
         transforms = aug.build_transforms(
             {k: v for k, v in augs.items() if k != "dropout"},
@@ -403,16 +430,24 @@ class ECOTracker(BaseTracker):
     # ---------------------------------------------------------------- track
 
     def track(self, image, info: Optional[dict] = None) -> dict:
-        im = jnp.asarray(image)
-        key = ("track", im.shape, self._sample_sz)
+        im_np, _ = self._prepare_image(image)
+        im = jnp.asarray(im_np)
+        ckey = ("crop", im.shape, self._sample_sz)
+        crop = self._jit_cache.get(ckey)
+        if crop is None:
+            crop = jax.jit(functools.partial(self._track_crop_impl,
+                                             sample_sz=self._sample_sz))
+            self._jit_cache[ckey] = crop
+        key = ("track", self._sample_sz)
         fn = self._jit_cache.get(key)
         if fn is None:
             fn = self._jit_with_variables(functools.partial(
-                self._track_impl, sample_sz=self._sample_sz,
+                self._track_from_patch, sample_sz=self._sample_sz,
                 feat_szs=tuple(self._feat_szs), filt_szs=tuple(self._filt_szs)))
             self._jit_cache[key] = fn
-        self.state, out = fn(self.variables, self.state, im, self._static["yfs"],
-                             self._static["reg_windows"])
+        patches = crop(self.state, im)
+        self.state, out = fn(self.variables, self.state, patches,
+                             self._static["yfs"], self._static["reg_windows"])
         # periodic filter CG update, host-scheduled (the schedule is purely
         # frame-count periodic, reference eco.py:233-235) — a separate jitted
         # program so the per-frame step never pays the conditional's memory
@@ -453,20 +488,36 @@ class ECOTracker(BaseTracker):
                                         {"hf": v["hf"]})["hf"]})
         return state.replace(filters=tuple(r.x["hf"]))
 
-    def _track_impl(self, state: ECOState, im, yfs, reg_windows, *, sample_sz,
-                    feat_szs, filt_szs):
+    def _track_crop_impl(self, state: ECOState, im, *, sample_sz):
+        """Shape-specialized head: the scale-pyramid crop only (see
+        DiMPTracker._track_crop_impl for the rationale)."""
         p = self.params
         im = im.astype(jnp.float32)
+        support = jnp.full(2, float(sample_sz))
+        sample_pos = jnp.round(state.pos)
+        scales = jnp.asarray(p.scale_factors) * state.target_scale
+        return jax.vmap(
+            lambda s: sample_patch(im, sample_pos, s * support,
+                                   (sample_sz, sample_sz), mode=p.border_mode,
+                                   im_sz=state.image_sz)[0]
+        )(scales)
+
+    def _track_impl(self, state: ECOState, im, yfs, reg_windows, *, sample_sz,
+                    feat_szs, filt_szs):
+        patches = self._track_crop_impl(state, im, sample_sz=sample_sz)
+        return self._track_from_patch(state, patches, yfs, reg_windows,
+                                      sample_sz=sample_sz, feat_szs=feat_szs,
+                                      filt_szs=filt_szs)
+
+    def _track_from_patch(self, state: ECOState, patches, yfs, reg_windows, *,
+                          sample_sz, feat_szs, filt_szs):
+        p = self.params
         support = jnp.full(2, float(sample_sz))
         out_sz = p.score_upsample_factor * sample_sz
         state = state.replace(frame_num=state.frame_num + 1)
 
         sample_pos = jnp.round(state.pos)
         scales = jnp.asarray(p.scale_factors) * state.target_scale
-        patches = jax.vmap(
-            lambda s: sample_patch(im, sample_pos, s * support,
-                                   (sample_sz, sample_sz), mode=p.border_mode)[0]
-        )(scales)
         feats = self._backbone_blocks(patches)
 
         # scores per block, weighted fourier sum (reference localize_target :246-287)

@@ -190,6 +190,7 @@ class KeepTrackTracker(DiMPTracker):
         self.tcm_variables = jax.device_put(tcm_variables) \
             if tcm_variables is not None else None
         self._jit_part1 = self._jit_with_variables(self._track_part1)
+        self._jit_part1_patch = self._jit_with_variables(self._track_part1_from_patch)
         self._jit_part2 = self._jit_with_variables(self._track_part2)
         self.device_association = device_association
         if device_association:
@@ -247,9 +248,13 @@ class KeepTrackTracker(DiMPTracker):
 
     def track(self, image, info: Optional[dict] = None) -> dict:
         p = self.params
-        im = jnp.asarray(image)
+        im_np, _ = self._prepare_image(image)
+        im = jnp.asarray(im_np)
         if self.device_association:
-            self.state, out = self._jit_track(self.variables, self.state, im)
+            # split dispatch: shape-specialized crop + shape-independent step
+            patch, coords = self._jit_crop(self.state, im)
+            self.state, out = self._jit_track_patch(self.variables, self.state,
+                                                    patch, coords)
             host = jax.device_get(out)
             flag_name = FLAG_NAMES[int(host["flag"])]
             bbox = np.asarray(host["target_bbox"]).tolist()
@@ -263,7 +268,9 @@ class KeepTrackTracker(DiMPTracker):
                 result["score_map"] = np.asarray(host["score_map"])
             return result
 
-        state, part1 = self._jit_part1(self.variables, self.state, im)
+        patch, coords = self._jit_crop(self.state, im)
+        state, part1 = self._jit_part1_patch(self.variables, self.state,
+                                             patch, coords)
         self._frame_num_host += 1
 
         # fetch the small candidate arrays for host-side association in ONE
@@ -343,8 +350,11 @@ class KeepTrackTracker(DiMPTracker):
     # ---------------------------------------------------------------- device step 1
 
     def _track_part1(self, state: KeepTrackState, im):
+        patch, coords = self._track_crop_impl(state, im)
+        return self._track_part1_from_patch(state, patch, coords)
+
+    def _track_part1_from_patch(self, state: KeepTrackState, patch, coords):
         p = self.params
-        im = im.astype(jnp.float32)
         img_sample_sz = jnp.array(self._img_sample_sz, jnp.float32)
         feat_sz = float(self._feature_sz)
         score_sz = self._score_sz
@@ -353,12 +363,6 @@ class KeepTrackTracker(DiMPTracker):
         K = p.max_candidates
 
         state = state.replace(frame_num=state.frame_num + 1)
-        centered_pos = state.pos + ((feat_sz + p.kernel_size) % 2) * \
-            state.target_scale * img_sample_sz / (2 * feat_sz)
-        patch, coords = sample_patch(im, centered_pos,
-                                     state.target_scale * img_sample_sz,
-                                     self._img_sample_sz, mode=p.border_mode,
-                                     max_scale_change=p.patch_max_scale_change)
         sample_pos = 0.5 * (coords[:2] + coords[2:])
         sample_scale = jnp.sqrt(jnp.prod((coords[2:] - coords[:2]) / img_sample_sz))
 
@@ -558,10 +562,11 @@ class KeepTrackTracker(DiMPTracker):
         is_object0 = jnp.where(use_matching, state.assoc_selected_oid == 0, True)
         return state, sel_coord, has_cand, flag, cand_score, is_object0
 
-    def _track_impl(self, state: KeepTrackState, im):
-        """Fully fused single-dispatch step (device_association mode): part1 +
-        on-device association + part2. lax.scan-able."""
-        state, p1 = self._track_part1(state, im)
+    # _track_impl is inherited from DiMPTracker: crop + _track_from_patch —
+    # the fully fused single-dispatch step (device_association mode): part1 +
+    # on-device association + part2. lax.scan-able.
+    def _track_from_patch(self, state: KeepTrackState, patch, coords):
+        state, p1 = self._track_part1_from_patch(state, patch, coords)
         state, sel_coord, sel_is_grid, flag, cand_score, is_object0 = \
             self._associate_device(state, p1)
         state, out = self._track_part2(

@@ -76,8 +76,8 @@ class KYSTracker(DiMPTracker):
                 mp, mc, sp, ds, init_label=il, dimp_thresh=p.dimp_threshold,
                 output_window=window, state_valid=state_valid))
 
-    def _initialize_impl(self, im, bbox, key):
-        state = super()._initialize_impl(im, bbox, key)
+    def _initialize_impl(self, im, bbox, key, image_sz):
+        state = super()._initialize_impl(im, bbox, key, image_sz)
         p = self.params
         feat_sz = self._feature_sz
         # previous-frame data from the init frame: identity sample (kys.py:255-269)
@@ -85,7 +85,8 @@ class KYSTracker(DiMPTracker):
         init_pos = jnp.round(state.pos)
         patch, coords = sample_patch(im.astype(jnp.float32), init_pos,
                                      state.target_scale * img_sample_sz,
-                                     self._img_sample_sz, mode=p.border_mode)
+                                     self._img_sample_sz, mode=p.border_mode,
+                                     im_sz=state.image_sz)
         backbone_feat = self._backbone(patch[None])
         motion_feat = self._motion_feat(backbone_feat)
 
@@ -112,9 +113,8 @@ class KYSTracker(DiMPTracker):
                                            sample_pos, sample_scale,
                                            img_sample_sz))
 
-    def _track_impl(self, state: KYSState, im):
+    def _track_from_patch(self, state: KYSState, patch, coords):
         p = self.params
-        im = im.astype(jnp.float32)
         img_sample_sz = jnp.array(self._img_sample_sz, jnp.float32)
         feat_sz = float(self._feature_sz)
         score_sz = float(self._score_sz)
@@ -124,12 +124,6 @@ class KYSTracker(DiMPTracker):
 
         state = state.replace(frame_num=state.frame_num + 1)
 
-        centered_pos = state.pos + ((feat_sz + p.kernel_size) % 2) * \
-            state.target_scale * img_sample_sz / (2 * feat_sz)
-        patch, coords = sample_patch(im, centered_pos,
-                                     state.target_scale * img_sample_sz,
-                                     self._img_sample_sz, mode=p.border_mode,
-                                     max_scale_change=p.patch_max_scale_change)
         sample_pos = 0.5 * (coords[:2] + coords[2:])
         sample_scale = jnp.sqrt(jnp.prod((coords[2:] - coords[:2]) / img_sample_sz))
 

@@ -80,6 +80,7 @@ class LWLState(struct.PyTreeNode):
 
 
 class LWLTracker(BaseTracker):
+    supports_shape_buckets = False   # image-shaped mask outputs; see BaseTracker
     multiobj_mode = "parallel"
     predicts_segmentation_mask = True
 

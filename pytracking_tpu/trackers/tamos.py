@@ -25,6 +25,7 @@ import numpy as np
 from flax import struct
 
 from pytracking_tpu.ops import dcf
+from pytracking_tpu.ops.patch import sample_patch
 from pytracking_tpu.trackers.base import BaseTracker
 from pytracking_tpu.trackers.dimp import (FLAG_HARD_NEG, FLAG_NAMES, FLAG_NORMAL,
                                           FLAG_NOT_FOUND, FLAG_UNCERTAIN,
@@ -92,6 +93,13 @@ class TaMOsTracker(BaseTracker):
         self.variables = jax.device_put(variables)
         self._jit_init = self._jit_with_variables(self._initialize_impl)
         self._jit_track = self._jit_with_variables(self._track_impl, donate_state=True)
+        # split dispatch: shape-specialized whole-frame warp + shape-independent
+        # heavy step (see DiMPTracker.__init__)
+        self._jit_crop = jax.jit(self._track_crop_impl)
+        self._jit_track_patch = self._jit_with_variables(self._track_from_patch,
+                                                         donate_state=True)
+        self._jit_init_crop = jax.jit(self._init_crop_impl)
+        self._jit_init_patch = self._jit_with_variables(self._initialize_from_patch)
         self.state: Optional[TaMOsState] = None
         self.id_map: Dict[int, str] = {}
         self.mot_dataset = False
@@ -166,8 +174,9 @@ class TaMOsTracker(BaseTracker):
     def initialize(self, image, info: Dict[str, Any]) -> dict:
         p = self.params
         K = p.num_tokens
-        im = jnp.asarray(image)
 
+        im_np, true_hw = self._prepare_image(image)
+        im = jnp.asarray(im_np)
         if "init_object_ids" in info or isinstance(info.get("init_bbox"), dict):
             self.mot_dataset = True
             bboxes_dict = info["init_bbox"]
@@ -185,12 +194,19 @@ class TaMOsTracker(BaseTracker):
             boxes[i] = np.asarray(bboxes_dict[oid], np.float32)
             valid[i] = True
 
-        self.state = self._jit_init(self.variables, im, jnp.asarray(boxes), jnp.asarray(valid))
+        image_sz = jnp.asarray(true_hw, jnp.float32)
+        frame, sfac = self._jit_init_crop(im, image_sz)
+        self.state = self._jit_init_patch(self.variables, frame, sfac,
+                                          jnp.asarray(boxes),
+                                          jnp.asarray(valid), image_sz)
         return {}
 
     def track(self, image, info: Optional[dict] = None) -> dict:
-        im = jnp.asarray(image)
-        self.state, out = self._jit_track(self.variables, self.state, im)
+        im_np, _ = self._prepare_image(image)
+        im = jnp.asarray(im_np)
+        frame, sfac = self._jit_crop(self.state, im)
+        self.state, out = self._jit_track_patch(self.variables, self.state,
+                                                frame, sfac)
         boxes = np.asarray(out["target_bbox"])
         scores = np.asarray(out["max_score"])
         flags = np.asarray(out["flag"])
@@ -216,21 +232,21 @@ class TaMOsTracker(BaseTracker):
 
     # ---------------------------------------------------------------- impl
 
-    def _whole_frame_sample(self, im, Hs: int, Ws: int):
+    def _whole_frame_sample(self, im, Hs: int, Ws: int, image_sz):
         """Resize the whole frame with ONE scale factor (aspect preserved) and
         replicate-pad to (Hs, Ws) (reference tamos.py:431-452). Returns
-        (frame (Hs, Ws, 3), scale_factor). Shapes are static per sequence."""
-        H_im, W_im = int(im.shape[0]), int(im.shape[1])
-        if H_im / W_im <= Hs / Ws:
-            s = float(Ws) / W_im
-            th, tw = int(H_im * s), Ws
-        else:
-            s = float(Hs) / H_im
-            th, tw = Hs, int(W_im * s)
-        th, tw = min(th, Hs), min(tw, Ws)
-        scaled = jax.image.resize(im, (th, tw, 3), "bilinear")
-        frame = jnp.pad(scaled, ((0, Hs - th), (0, Ws - tw), (0, 0)),
-                        mode="edge")
+        (frame (Hs, Ws, 3), scale_factor).
+
+        `image_sz` is the TRUE (H, W) as a traced (2,) array — the scale factor
+        is traced, so the warp (a fixed-shape sample_patch whose triangle filter
+        equals jax.image.resize's antialiased bilinear) compiles ONE program for
+        every frame shape in a bucket; the area beyond the true frame replicates
+        the border exactly like the reference's edge padding."""
+        H_im, W_im = image_sz[0], image_sz[1]
+        s = jnp.where(H_im / W_im <= float(Hs) / Ws, Ws / W_im, Hs / H_im)
+        extent = jnp.array([Hs, Ws], jnp.float32) / s
+        pos = extent / 2.0 - 0.5
+        frame, _ = sample_patch(im, pos, extent, (Hs, Ws), mode="replicate")
         return frame, s
 
     def _label_batch(self, centers, sigmas, feat_sz):
@@ -243,20 +259,22 @@ class TaMOsTracker(BaseTracker):
 
         return jax.vmap(one)(centers, sigmas)
 
-    def _initialize_impl(self, im, boxes, valid) -> TaMOsState:
+    def _initialize_impl(self, im, boxes, valid, image_sz) -> TaMOsState:
+        frame, sfac = self._init_crop_impl(im, image_sz)
+        return self._initialize_from_patch(frame, sfac, boxes, valid, image_sz)
+
+    def _initialize_from_patch(self, frame, sfac, boxes, valid, image_sz
+                               ) -> TaMOsState:
         p = self.params
-        im = im.astype(jnp.float32)
         Hs, Ws = p.image_sample_size
         h, w = p.train_feature_size
         K = p.num_tokens
-        image_sz = jnp.array(im.shape[:2], jnp.float32)
 
         # whole-frame sample with PRESERVED aspect ratio: one isotropic scale
         # factor + replicate padding (reference extract_backbone_features
         # :431-452; an anisotropic resize distorts objects and breaks the
         # box/label geometry). im.shape is static per sequence, so the scale
         # and padded extents are trace-time constants.
-        frame, sfac = self._whole_frame_sample(im, Hs, Ws)
         backbone_feat = self._backbone(frame[None])
         x = self.net.apply(self.variables, backbone_feat,
                            method=lambda m, f: f[m.head_layer])  # (1, h, w, Cb)
@@ -300,16 +318,27 @@ class TaMOsTracker(BaseTracker):
                           flag=jnp.zeros((K,), jnp.int32),
                           max_score=jnp.ones((K,)))
 
+    def _init_crop_impl(self, im, image_sz):
+        Hs, Ws = self.params.image_sample_size
+        return self._whole_frame_sample(im.astype(jnp.float32), Hs, Ws, image_sz)
+
+    def _track_crop_impl(self, state: TaMOsState, im):
+        Hs, Ws = self.params.image_sample_size
+        return self._whole_frame_sample(im.astype(jnp.float32), Hs, Ws,
+                                        state.image_sz)
+
     def _track_impl(self, state: TaMOsState, im):
+        frame, sfac = self._track_crop_impl(state, im)
+        return self._track_from_patch(state, frame, sfac)
+
+    def _track_from_patch(self, state: TaMOsState, frame, sfac):
         p = self.params
-        im = im.astype(jnp.float32)
         Hs, Ws = p.image_sample_size
         h, w = p.train_feature_size
         K = p.num_tokens
         stride = p.feature_stride
         state = state.replace(frame_num=state.frame_num + 1)
 
-        frame, sfac = self._whole_frame_sample(im, Hs, Ws)
         backbone_feat = self._backbone(frame[None])
         test_x = self.net.apply(self.variables, backbone_feat,
                                 method=lambda m, f: f[m.head_layer])

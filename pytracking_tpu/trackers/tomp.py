@@ -111,6 +111,14 @@ class ToMPTracker(BaseTracker):
         self.variables = jax.device_put(variables)
         self._jit_init = self._jit_with_variables(self._initialize_impl)
         self._jit_track = self._jit_with_variables(self._track_impl, donate_state=True)
+        # split dispatch: shape-specialized crop + shape-independent heavy step
+        # (see DiMPTracker.__init__ — a new frame-shape bucket recompiles only
+        # the 2-matmul warp, not the transformer step)
+        self._jit_crop = jax.jit(self._track_crop_impl)
+        self._jit_track_patch = self._jit_with_variables(self._track_from_patch,
+                                                         donate_state=True)
+        self._jit_init_crop = jax.jit(self._init_crop_impl)
+        self._jit_init_patch = self._jit_with_variables(self._initialize_from_patch)
         self.state: Optional[ToMPState] = None
         self._seed = 0
 
@@ -175,22 +183,43 @@ class ToMPTracker(BaseTracker):
     # ---------------------------------------------------------------- initialize
 
     def initialize(self, image, info: Dict[str, Any]) -> dict:
-        im = jnp.asarray(image)
+        im_np, true_hw = self._prepare_image(image)
+        im = jnp.asarray(im_np)
         bbox = jnp.asarray(info["init_bbox"], jnp.float32)
         key = jax.random.PRNGKey(self._seed)
-        self.state = self._jit_init(self.variables, im, bbox, key)
+        image_sz = jnp.asarray(true_hw, jnp.float32)
+        patch, coords = self._jit_init_crop(im, bbox, image_sz)
+        self.state = self._jit_init_patch(self.variables, patch, coords, bbox,
+                                          key, image_sz)
         return {}
 
-    def _initialize_impl(self, im, bbox, key) -> ToMPState:
+    def _init_crop_impl(self, im, bbox, image_sz):
         p = self.params
         im = im.astype(jnp.float32)
+        ss = p.image_sample_size
+        support = jnp.full(2, float(ss))
+        pos = jnp.array([bbox[1] + (bbox[3] - 1) / 2, bbox[0] + (bbox[2] - 1) / 2])
+        target_sz = jnp.array([bbox[3], bbox[2]])
+        search_area = jnp.prod(target_sz * p.search_area_scale)
+        target_scale = jnp.sqrt(search_area) / float(ss)
+        return sample_patch(im, jnp.round(pos), target_scale * support, (ss, ss),
+                            mode=p.border_mode,
+                            max_scale_change=p.patch_max_scale_change,
+                            im_sz=image_sz)
+
+    def _initialize_impl(self, im, bbox, key, image_sz) -> ToMPState:
+        patch, coords = self._init_crop_impl(im, bbox, image_sz)
+        return self._initialize_from_patch(patch, coords, bbox, key, image_sz)
+
+    def _initialize_from_patch(self, patch, coords, bbox, key, image_sz
+                               ) -> ToMPState:
+        p = self.params
         ss = p.image_sample_size
         feat_sz = p.train_feature_size
         support = jnp.full(2, float(ss))
 
         pos = jnp.array([bbox[1] + (bbox[3] - 1) / 2, bbox[0] + (bbox[2] - 1) / 2])
         target_sz = jnp.array([bbox[3], bbox[2]])
-        image_sz = jnp.array(im.shape[:2], jnp.float32)
         search_area = jnp.prod(target_sz * p.search_area_scale)
         target_scale = jnp.sqrt(search_area) / float(ss)
         base_target_sz = target_sz / target_scale
@@ -198,9 +227,6 @@ class ToMPTracker(BaseTracker):
         max_scale = jnp.min(image_sz / base_target_sz)
 
         init_pos = jnp.round(pos)
-        patch, coords = sample_patch(im, init_pos, target_scale * support, (ss, ss),
-                                     mode=p.border_mode,
-                                     max_scale_change=p.patch_max_scale_change)
         sample_pos = 0.5 * (coords[:2] + coords[2:])
         sample_scale = jnp.sqrt(jnp.prod((coords[2:] - coords[:2]) / support))
 
@@ -238,8 +264,11 @@ class ToMPTracker(BaseTracker):
     # ---------------------------------------------------------------- track
 
     def track_async(self, image, info: Optional[dict] = None):
-        im = jnp.asarray(image)
-        self.state, out = self._jit_track(self.variables, self.state, im)
+        im_np, _ = self._prepare_image(image)
+        im = jnp.asarray(im_np)
+        patch, coords = self._jit_crop(self.state, im)
+        self.state, out = self._jit_track_patch(self.variables, self.state,
+                                                patch, coords)
         return out
 
     def fetch_output(self, out) -> dict:
@@ -259,17 +288,28 @@ class ToMPTracker(BaseTracker):
     def track(self, image, info: Optional[dict] = None) -> dict:
         return self.fetch_output(self.track_async(image, info))
 
-    def _track_impl(self, state: ToMPState, im) -> Tuple[ToMPState, dict]:
+    def _track_crop_impl(self, state: ToMPState, im):
         p = self.params
-        im = im.astype(jnp.float32)
+        ss = p.image_sample_size
+        support = jnp.full(2, float(ss))
+        return sample_patch(im.astype(jnp.float32), state.pos,
+                            state.target_scale * support,
+                            (ss, ss), mode=p.border_mode,
+                            max_scale_change=p.patch_max_scale_change,
+                            im_sz=state.image_sz)
+
+    def _track_impl(self, state: ToMPState, im) -> Tuple[ToMPState, dict]:
+        patch, coords = self._track_crop_impl(state, im)
+        return self._track_from_patch(state, patch, coords)
+
+    def _track_from_patch(self, state: ToMPState, patch, coords
+                          ) -> Tuple[ToMPState, dict]:
+        p = self.params
         ss = p.image_sample_size
         feat_sz = p.train_feature_size
         support = jnp.full(2, float(ss))
         state = state.replace(frame_num=state.frame_num + 1)
 
-        patch, coords = sample_patch(im, state.pos, state.target_scale * support,
-                                     (ss, ss), mode=p.border_mode,
-                                     max_scale_change=p.patch_max_scale_change)
         sample_pos = 0.5 * (coords[:2] + coords[2:])
         sample_scale = jnp.sqrt(jnp.prod((coords[2:] - coords[:2]) / support))
 

@@ -157,7 +157,12 @@ if __name__ == "__main__":
     ap.add_argument("--cache-check", action="store_true")
     ap.add_argument("--cpu-sweep-only", action="store_true",
                     help="(internal) child process for --cache-check")
+    ap.add_argument("--buckets", default=None,
+                    help="set PYTRACKING_TPU_SHAPE_BUCKETS for this sweep "
+                         "(0 disables bucket padding; default keeps the env)")
     args = ap.parse_args()
+    if args.buckets is not None:
+        os.environ["PYTRACKING_TPU_SHAPE_BUCKETS"] = args.buckets
     if args.cache_check:
         ok = cache_check()
         sys.exit(0 if ok else 1)
