@@ -88,10 +88,16 @@ class ResidualDS16FeatSWBox(nn.Module):
     """Box-initialized label encoder (reference label_encoder.py:128-207): render the
     box as a Gaussian prior map, downsample it /16, concatenate target-model features,
     and predict the few-shot label + sample weights. Used by LWTLBoxNet for
-    box-initialized VOS (reference lwl_box_net.py:17)."""
+    box-initialized VOS (reference lwl_box_net.py:17) and STANet.
+
+    Matching the reference defaults (label_encoder.py:129,146): the conv_block
+    and residual blocks default to NO BatchNorm (use_bn=False), but label_pred
+    is a conv_block with the default batch_norm=True — controlled separately
+    via final_bn."""
     layer_dims: tuple = (16, 32, 64, 64, 16)
-    use_bn: bool = True
+    use_bn: bool = False
     use_gauss: bool = True
+    final_bn: bool = True
 
     @nn.compact
     def __call__(self, bb, feat, im_sz, train: bool = False):
@@ -110,7 +116,7 @@ class ResidualDS16FeatSWBox(nn.Module):
         x = jnp.concatenate([x, f], axis=-1)
         x = SegBasicBlock(self.layer_dims[3], stride=1, use_bn=self.use_bn,
                           name="res3")(x, train=train)
-        label = ConvBlock(self.layer_dims[4], 3, batch_norm=self.use_bn,
+        label = ConvBlock(self.layer_dims[4], 3, batch_norm=self.final_bn,
                           name="label_pred")(x, train=train)
         sw = nn.Conv(self.layer_dims[4], (3, 3), padding=[(1, 1), (1, 1)],
                      kernel_init=nn.initializers.zeros,

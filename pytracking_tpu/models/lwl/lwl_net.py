@@ -226,7 +226,7 @@ def steepest_descent_resnet50_boxinit(filter_size: int = 3, num_filters: int = 1
                                      label_encoder_dims=label_encoder_dims,
                                      decoder_mdim=decoder_mdim)
     box_enc = ResidualDS16FeatSWBox(layer_dims=tuple(box_label_encoder_dims) +
-                                    (num_filters,))
+                                    (num_filters,), use_bn=True)
     return LWTLBoxNet(feature_extractor=base.feature_extractor,
                       target_model=base.target_model, decoder=base.decoder,
                       label_encoder=base.label_encoder,

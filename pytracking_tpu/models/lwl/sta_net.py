@@ -98,13 +98,21 @@ class STANet(nn.Module):
 def sta_resnet50(filter_size: int = 3, num_filters: int = 16, optim_iter: int = 5,
                  optim_init_reg: float = 0.01, out_feature_dim: int = 512,
                  label_encoder_dims=(16, 32, 64), box_label_encoder_dims=(16, 32, 64),
-                 decoder_mdim: int = 64) -> STANet:
-    """(reference sta_net.py:99-198 steepest_descent_resnet50)."""
+                 decoder_mdim: int = 64, clf_feat_blocks: int = 1,
+                 clf_final_conv: bool = False) -> STANet:
+    """(reference sta_net.py:99-198 steepest_descent_resnet50).
+
+    clf_feat_blocks/clf_final_conv select the target-model feature extractor
+    layout: (1, False) is the reference constructor's default; (0, True) is the
+    LWL-style layout (single 3x3 conv) — pass the latter when loading an
+    sta.pth.tar trained with LWL-style settings (port_weights.port_stanet
+    handles both)."""
     backbone = backbones.resnet50(output_layers=("layer1", "layer2", "layer3",
                                                  "layer4"))
     norm_scale = math.sqrt(1.0 / (out_feature_dim * filter_size * filter_size))
-    tm_feat = ResidualBasicBlock(feature_dim=1024, num_blocks=1, l2norm=True,
-                                 final_conv=False, norm_scale=norm_scale,
+    tm_feat = ResidualBasicBlock(feature_dim=1024, num_blocks=clf_feat_blocks,
+                                 l2norm=True,
+                                 final_conv=clf_final_conv, norm_scale=norm_scale,
                                  out_dim=out_feature_dim)
 
     def make_tm():

@@ -23,6 +23,40 @@ from typing import Dict, Optional, Tuple
 import numpy as np
 
 
+class TrackingStateDict(dict):
+    """state_dict wrapper that records which keys a port function consumed.
+
+    Used by the port-coverage tests (tests/test_port_coverage.py) to assert a
+    `port_*` entry point reads EVERY checkpoint key — so a reference `.pth.tar`
+    cannot silently lose weights on ingest. Values convert to np on access."""
+
+    def __init__(self, state_dict):
+        super().__init__({k: np.asarray(v) for k, v in state_dict.items()})
+        self.consumed = set()
+
+    def __getitem__(self, key):
+        self.consumed.add(key)
+        return super().__getitem__(key)
+
+    def get(self, key, default=None):
+        if key in self:
+            return self[key]
+        return default
+
+    def unconsumed(self, ignore_suffixes=("num_batches_tracked",)):
+        return {k for k in self
+                if k not in self.consumed
+                and not k.endswith(ignore_suffixes)}
+
+
+def _as_sd(state_dict) -> dict:
+    """Normalize an incoming state_dict to name->np.ndarray, preserving a
+    TrackingStateDict so its consumed-key record survives the port call."""
+    if isinstance(state_dict, TrackingStateDict):
+        return state_dict
+    return {k: np.asarray(v) for k, v in state_dict.items()}
+
+
 def conv_kernel(w: np.ndarray) -> np.ndarray:
     """torch conv weight (O, I, H, W) -> flax (H, W, I, O)."""
     return np.transpose(w, (2, 3, 1, 0))
@@ -124,7 +158,7 @@ def port_atomnet(state_dict: Dict[str, np.ndarray],
                  layers: Tuple[int, ...] = (2, 2, 2, 2),
                  block: str = "basic") -> dict:
     """ATOMnet checkpoint (reference ltr/models/bbreg/atom.py:7) -> flax variables."""
-    sd = {k: np.asarray(v) for k, v in state_dict.items()}
+    sd = _as_sd(state_dict)
     params: dict = {}
     batch_stats: dict = {}
     port_resnet(sd, params, batch_stats, "feature_extractor", "feature_extractor",
@@ -138,7 +172,7 @@ def port_dimpnet(state_dict: Dict[str, np.ndarray],
                  block: str = "bottleneck",
                  clf_feat_blocks: int = 0) -> dict:
     """Full DiMPnet-18/50 checkpoint -> flax variables dict {'params', 'batch_stats'}."""
-    sd = {k: np.asarray(v) for k, v in state_dict.items()}
+    sd = _as_sd(state_dict)
     params: dict = {}
     batch_stats: dict = {}
 
@@ -274,6 +308,10 @@ def port_tomp_head(sd: Dict[str, np.ndarray], params: dict, batch_stats: dict,
     fp = f"{prefix}.filter_predictor"
     fx = f"{flax_prefix}/filter_predictor"
     set_in(params, f"{fx}/query_embed_fg", sd[f"{fp}.query_embed_fg.weight"])
+    # the reference aliases query_embed_fg_decoder = query_embed_fg
+    # (filter_predictor.py:33) — the SAME tensor registered twice in the
+    # state_dict; consume the alias so coverage accounting sees it handled
+    sd.get(f"{fp}.query_embed_fg_decoder.weight")
     if f"{fp}.query_embed_test.weight" in sd:
         set_in(params, f"{fx}/query_embed_test", sd[f"{fp}.query_embed_test.weight"])
     # box_encoding MLP: Conv1d(4,d/4,1) BN ReLU Conv1d(d/4,d,1) BN ReLU Conv1d(d,d,1)
@@ -373,7 +411,7 @@ def port_kysnet(state_dict: Dict[str, np.ndarray]) -> dict:
     """KYSnet checkpoint (reference ltr/models/tracking/kysnet.py:17) -> flax
     variables. Torch prefixes: backbone_feature_extractor / dimp_classifier /
     bb_regressor / predictor.predictor."""
-    sd = {k: np.asarray(v) for k, v in state_dict.items()}
+    sd = _as_sd(state_dict)
     params: dict = {}
     batch_stats: dict = {}
     port_resnet(sd, params, batch_stats, "backbone_feature_extractor",
@@ -438,7 +476,7 @@ def port_lwl_decoder(sd: Dict[str, np.ndarray], params: dict, batch_stats: dict,
 def port_lwlnet(state_dict: Dict[str, np.ndarray]) -> dict:
     """LWL (LWTLNet) checkpoint (reference ltr/models/lwl/lwl_net.py:18) -> flax
     variables. Backbone is the mrcnn ResNet-50 (same key names as torchvision)."""
-    sd = {k: np.asarray(v) for k, v in state_dict.items()}
+    sd = _as_sd(state_dict)
     params: dict = {}
     batch_stats: dict = {}
     port_resnet(sd, params, batch_stats, "feature_extractor", "feature_extractor",
@@ -456,7 +494,7 @@ def port_rtsnet(state_dict: Dict[str, np.ndarray]) -> dict:
     """RTS checkpoint (reference ltr/models/rts/rts_net.py:417
     steepest_descent_resnet50_with_clf_encoder) -> flax variables: LWL parts +
     hinge-classifier branch + score encoder + fusion."""
-    sd = {k: np.asarray(v) for k, v in state_dict.items()}
+    sd = _as_sd(state_dict)
     params: dict = {}
     batch_stats: dict = {}
     port_resnet(sd, params, batch_stats, "feature_extractor", "feature_extractor",
@@ -480,11 +518,54 @@ def port_rtsnet(state_dict: Dict[str, np.ndarray]) -> dict:
     return {"params": params, "batch_stats": batch_stats}
 
 
+def port_stanet(state_dict: Dict[str, np.ndarray]) -> dict:
+    """STA box-to-mask net checkpoint (reference ltr/models/lwl/sta_net.py:99
+    steepest_descent_resnet50, shipped as sta.pth.tar for RTS box init) -> flax
+    variables for models/lwl/sta_net.py. The target-model feature extractor
+    layout is introspected from the keys: BasicBlocks (`feature_extractor.{i}.conv1`)
+    and/or a bare final conv (`feature_extractor.{i}.weight`) — construct the flax
+    net with matching clf_feat_blocks/clf_final_conv."""
+    sd = _as_sd(state_dict)
+    params: dict = {}
+    batch_stats: dict = {}
+    port_resnet(sd, params, batch_stats, "feature_extractor", "feature_extractor",
+                (3, 4, 6, 3), "bottleneck")
+    # target-model feature extractor: N BasicBlocks then optional final conv
+    i = 0
+    while f"target_model.feature_extractor.{i}.conv1.weight" in sd:
+        tp = f"target_model.feature_extractor.{i}"
+        fp = f"target_model/feature_extractor/block{i}"
+        for ci in (1, 2):
+            port_conv(sd, f"{tp}.conv{ci}", params, f"{fp}/conv{ci}")
+            port_bn(sd, f"{tp}.bn{ci}", params, batch_stats, f"{fp}/bn{ci}")
+        if f"{tp}.downsample.0.weight" in sd:
+            port_conv(sd, f"{tp}.downsample.0", params, f"{fp}/downsample_conv")
+            port_bn(sd, f"{tp}.downsample.1", params, batch_stats,
+                    f"{fp}/downsample_bn")
+        i += 1
+    if f"target_model.feature_extractor.{i}.weight" in sd:
+        port_conv(sd, f"target_model.feature_extractor.{i}", params,
+                  "target_model/feature_extractor/final_conv")
+    for tm in ("target_model", "target_model_segm"):
+        set_in(params, f"{tm}/filter_reg",
+               sd[f"{tm}.filter_optimizer.residual_module.filter_reg"])
+    port_lwl_decoder(sd, params, batch_stats)
+    # label/bbox encoders are ResidualDS16FeatSWBox (res1..res3); the segm
+    # encoder is ResidualDS16SW (res1..res2)
+    port_lwl_label_encoder(sd, params, batch_stats, "label_encoder",
+                           "label_encoder", n_res=3)
+    port_lwl_label_encoder(sd, params, batch_stats, "bbox_encoder",
+                           "bbox_encoder", n_res=3)
+    port_lwl_label_encoder(sd, params, batch_stats, "segm_encoder",
+                           "segm_encoder", n_res=2)
+    return {"params": params, "batch_stats": batch_stats}
+
+
 def port_tompnet(state_dict: Dict[str, np.ndarray],
                  layers: Tuple[int, ...] = (3, 4, 6, 3)) -> dict:
     """ToMPnet-50/101 checkpoint (reference ltr/models/tracking/tompnet.py:13)
     -> flax variables."""
-    sd = {k: np.asarray(v) for k, v in state_dict.items()}
+    sd = _as_sd(state_dict)
     params: dict = {}
     batch_stats: dict = {}
     port_resnet(sd, params, batch_stats, "feature_extractor", "feature_extractor",
@@ -511,7 +592,7 @@ def port_tamosnet(state_dict: Dict[str, np.ndarray],
     """TaMOs checkpoint (reference ltr/models/tracking/tamosnet.py:13 + FPNHead)
     -> flax variables. Our TaMOsNet flattens the head: head_feature_extractor /
     filter_predictor / classifier / bb_regressor / fpn are top-level."""
-    sd = {k: np.asarray(v) for k, v in state_dict.items()}
+    sd = _as_sd(state_dict)
     params: dict = {}
     batch_stats: dict = {}
     port_resnet(sd, params, batch_stats, "feature_extractor", "feature_extractor",
@@ -561,7 +642,7 @@ def _conv1d_dense(sd: Dict[str, np.ndarray], torch_prefix: str, params: dict,
 def port_tcm(state_dict: Dict[str, np.ndarray], num_gnn_layers: int = 2) -> dict:
     """Target candidate matching net (KeepTrack; reference ltr/models/
     target_candidate_matching/target_candidate_matching.py:90) -> flax variables."""
-    sd = {k: np.asarray(v) for k, v in state_dict.items()}
+    sd = _as_sd(state_dict)
     params: dict = {}
     batch_stats: dict = {}
     port_resnet(sd, params, batch_stats, "feature_extractor", "feature_extractor",
@@ -595,13 +676,16 @@ def port_resnet18_vggm(state_dict: Dict[str, np.ndarray],
                        flax_prefix: str = "") -> dict:
     """ResNet18-VGG-m1 (reference ltr/models/backbone/resnet18_vggm.py:38) ->
     flax variables for models.backbones.vggm_resnet.ResNet18VGGm1."""
-    sd = {"net." + k: np.asarray(v) for k, v in state_dict.items()}
+    sd_in = _as_sd(state_dict)
+    sd = TrackingStateDict({"net." + k: v for k, v in sd_in.items()})
     params: dict = {}
     batch_stats: dict = {}
     fx = (flax_prefix + "/") if flax_prefix else ""
     port_conv(sd, "net.vggmconv1", params, f"{fx}vggmconv1")
     port_resnet(sd, params, batch_stats, "net", flax_prefix or "",
                 (2, 2, 2, 2), "basic")
+    if isinstance(sd_in, TrackingStateDict):
+        sd_in.consumed.update(k[len("net."):] for k in sd.consumed)
     if not flax_prefix:
         # port_resnet wrote under the "" key when no prefix; flatten it
         if "" in params:
@@ -614,7 +698,7 @@ def port_resnet18_vggm(state_dict: Dict[str, np.ndarray],
 def port_mobilenetv3(state_dict: Dict[str, np.ndarray]) -> dict:
     """MobileNetV3-LARGE (reference ltr/models/backbone/mobilenetv3.py:134) ->
     flax variables for models.backbones.mobilenetv3.MobileNetV3Large."""
-    sd = {k: np.asarray(v) for k, v in state_dict.items()}
+    sd = _as_sd(state_dict)
     params: dict = {}
     batch_stats: dict = {}
     port_conv(sd, "init_conv.0", params, "init_conv")
