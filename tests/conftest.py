@@ -16,6 +16,44 @@ import pytest  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 
+# ---- test tiers (auto-applied by module):
+#   `pytest -m smoke`   — ops/geometry/loss-level tests with no full networks:
+#                         the per-commit tier (~3 min on a 1-vCPU host).
+#   `pytest -m fast`    — smoke + every unit/trace-parity test (full nets on
+#                         CPU; ~40 min measured on the 1-vCPU CI host — the
+#                         trace-parity tests each run BOTH torch and flax
+#                         full-network stacks).
+#   `pytest -m harness` — whole-harness end-to-end parity, minutes each.
+#   `pytest -m slow_vos`— full-resolution VOS whole-harness, tens of minutes.
+# Measured wall-times are recorded in README.
+_SLOW_VOS_MODULES = {"test_whole_harness_vos_multiobj"}
+_HARNESS_MODULES = {
+    "test_whole_harness_auc_parity",
+    "test_whole_harness_families2",
+    "test_bf16_harness_gate",
+    "test_training_convergence",
+}
+_SMOKE_MODULES = {
+    "test_ops", "test_solvers", "test_fourier", "test_dcf", "test_losses",
+    "test_optim", "test_prroi_pool", "test_port_weights", "test_native_image",
+    "test_dataset_adapters", "test_train_datasets", "test_evaluation_harness",
+    "test_misc_surfaces", "test_video_generic", "test_shape_buckets",
+    "test_data_pipeline_round2",
+}
+
+
+def pytest_collection_modifyitems(config, items):
+    for item in items:
+        mod = item.module.__name__.rsplit(".", 1)[-1]
+        if mod in _SLOW_VOS_MODULES:
+            item.add_marker(pytest.mark.slow_vos)
+        elif mod in _HARNESS_MODULES:
+            item.add_marker(pytest.mark.harness)
+        else:
+            item.add_marker(pytest.mark.fast)
+            if mod in _SMOKE_MODULES:
+                item.add_marker(pytest.mark.smoke)
+
 
 @pytest.fixture(autouse=True)
 def _isolate_pytracking_env():
