@@ -15,18 +15,12 @@ Layer map (mirrors SURVEY.md §1, redesigned TPU-first):
 __version__ = "0.1.0"
 
 # Persistent XLA compilation cache: tracker steps are large programs and the TPU
-# compile (remote in some environments) dominates cold-start time; cached binaries make
-# repeat runs start in seconds. Disable with PYTRACKING_TPU_COMPILATION_CACHE=0.
-import os as _os
+# compile (remote in some environments) dominates cold-start time; cached executables
+# make repeat runs start in seconds (utils/compile_cache.py — TPU-only by default,
+# disable with PYTRACKING_TPU_COMPILE_CACHE=off).
+try:
+    from pytracking_tpu.utils import compile_cache as _compile_cache
 
-if _os.environ.get("PYTRACKING_TPU_COMPILATION_CACHE", "1") != "0":
-    try:
-        import jax as _jax
-
-        _jax.config.update(
-            "jax_compilation_cache_dir",
-            _os.environ.get("PYTRACKING_TPU_CACHE_DIR",
-                            _os.path.expanduser("~/.cache/pytracking_tpu_jax")))
-        _jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-    except Exception:
-        pass
+    _compile_cache.enable()
+except Exception:
+    pass
