@@ -30,8 +30,22 @@ def _shape_bucket_granularity() -> int:
     up to the next multiple of the granularity collapses nearby shapes onto one
     program. Padding is edge-replicate, so replicate-border patch reads are
     unchanged; the true size is threaded through the jit as a traced (2,) array
-    for the 'inside' border modes and position clamping."""
-    return int(os.environ.get("PYTRACKING_TPU_SHAPE_BUCKETS", "128"))
+    for the 'inside' border modes and position clamping.
+
+    Parsed and validated ONCE per tracker (in BaseTracker.__init__): a malformed
+    PYTRACKING_TPU_SHAPE_BUCKETS fails at construction, not mid-sequence, and
+    changing the env var mid-sequence cannot mix bucketed/unbucketed frames
+    against a fixed state.image_sz."""
+    raw = os.environ.get("PYTRACKING_TPU_SHAPE_BUCKETS", "128")
+    try:
+        g = int(raw)
+    except ValueError as e:
+        raise ValueError(
+            f"PYTRACKING_TPU_SHAPE_BUCKETS must be an integer, got {raw!r}") from e
+    if g < 0:
+        raise ValueError(
+            f"PYTRACKING_TPU_SHAPE_BUCKETS must be >= 0, got {g}")
+    return g
 
 
 class BaseTracker:
@@ -47,6 +61,9 @@ class BaseTracker:
         self.params = params
         self.visdom = None
         self._debug_outputs = False
+        # parse/validate once per tracker lifetime (fail fast on malformed env,
+        # immune to mid-sequence env changes)
+        self._bucket_granularity = _shape_bucket_granularity()
 
     def _prepare_image(self, image) -> Tuple[np.ndarray, Tuple[int, int]]:
         """Pad a host frame (H, W[, C]) up to its shape bucket with edge-replicate
@@ -54,7 +71,7 @@ class BaseTracker:
         (PYTRACKING_TPU_SHAPE_BUCKETS=0) this is the identity."""
         arr = np.asarray(image)
         h, w = int(arr.shape[0]), int(arr.shape[1])
-        g = _shape_bucket_granularity()
+        g = self._bucket_granularity
         if g <= 0 or not self.supports_shape_buckets:
             return arr, (h, w)
         hb, wb = -(-h // g) * g, -(-w // g) * g

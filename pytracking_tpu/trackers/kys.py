@@ -76,17 +76,34 @@ class KYSTracker(DiMPTracker):
                 mp, mc, sp, ds, init_label=il, dimp_thresh=p.dimp_threshold,
                 output_window=window, state_valid=state_valid))
 
-    def _initialize_impl(self, im, bbox, key, image_sz):
-        state = super()._initialize_impl(im, bbox, key, image_sz)
+    def _init_crop_impl(self, im, bbox, image_sz):
+        """Shape-specialized init head: DiMP's augmentation base patch PLUS the
+        KYS identity sample — the only extra image access — so KYS participates
+        in the split init dispatch instead of recompiling the full fused init
+        once per frame-shape bucket (round-4 advisor finding)."""
+        p = self.params
+        base_patch = super()._init_crop_impl(im, bbox, image_sz)
+        # same pos/target_scale derivation as _initialize_from_patch — the
+        # identity sample is cropped at the (rounded) init position
+        pos = jnp.array([bbox[1] + (bbox[3] - 1) / 2, bbox[0] + (bbox[2] - 1) / 2])
+        target_sz = jnp.array([bbox[3], bbox[2]])
+        img_sample_sz = jnp.array(self._img_sample_sz, jnp.float32)
+        target_scale = jnp.sqrt(jnp.prod(target_sz * p.search_area_scale)) / \
+            jnp.sqrt(jnp.prod(img_sample_sz))
+        patch, coords = sample_patch(im.astype(jnp.float32), jnp.round(pos),
+                                     target_scale * img_sample_sz,
+                                     self._img_sample_sz, mode=p.border_mode,
+                                     im_sz=image_sz)
+        return {"base_patch": base_patch, "id_patch": patch, "id_coords": coords}
+
+    def _initialize_from_patch(self, crop, bbox, key, image_sz):
+        state = super()._initialize_from_patch(crop["base_patch"], bbox, key,
+                                               image_sz)
         p = self.params
         feat_sz = self._feature_sz
         # previous-frame data from the init frame: identity sample (kys.py:255-269)
         img_sample_sz = jnp.array(self._img_sample_sz, jnp.float32)
-        init_pos = jnp.round(state.pos)
-        patch, coords = sample_patch(im.astype(jnp.float32), init_pos,
-                                     state.target_scale * img_sample_sz,
-                                     self._img_sample_sz, mode=p.border_mode,
-                                     im_sz=state.image_sz)
+        patch, coords = crop["id_patch"], crop["id_coords"]
         backbone_feat = self._backbone(patch[None])
         motion_feat = self._motion_feat(backbone_feat)
 

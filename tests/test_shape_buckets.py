@@ -123,10 +123,19 @@ def test_prepare_image_padding_semantics(monkeypatch):
     img2 = np.zeros((128, 192, 3), np.uint8)
     p2, _ = t._prepare_image(img2)
     assert p2 is img2
-    # disabled -> identity
+    # granularity is parsed ONCE at construction (round-4 advisor finding):
+    # changing the env mid-sequence does not change an existing tracker...
     monkeypatch.setenv("PYTRACKING_TPU_SHAPE_BUCKETS", "0")
     p3, _ = t._prepare_image(img)
-    assert p3 is img
+    assert p3.shape == (128, 192, 3)
+    # ...a new tracker picks it up; disabled -> identity
+    t2 = BaseTracker(params=None)
+    p4, _ = t2._prepare_image(img)
+    assert p4 is img
+    # malformed env fails fast at construction, not mid-sequence
+    monkeypatch.setenv("PYTRACKING_TPU_SHAPE_BUCKETS", "banana")
+    with pytest.raises(ValueError):
+        BaseTracker(params=None)
 
 
 def test_tamos_whole_frame_warp_matches_resize():
