@@ -283,10 +283,14 @@ class ATOMTracker(BaseTracker):
                                   sample_sz=sample_sz))
             self._jit_cache[("init", sample_sz)] = fn
         image_sz_arr = jnp.asarray(true_hw, jnp.float32)
-        base_patch = crop(im, jnp.asarray(bbox), jnp.asarray(target_scale),
+        # explicit f32 (not weak-typed): a weak-typed target_scale in the init
+        # state retraces the track program on the SECOND frame (test_one_compile)
+        base_patch = crop(im, jnp.asarray(bbox),
+                          jnp.asarray(target_scale, jnp.float32),
                           image_sz_arr)
         self.state = fn(self.variables, base_patch, jnp.asarray(bbox),
-                        jnp.asarray(target_scale), key, image_sz_arr)
+                        jnp.asarray(target_scale, jnp.float32), key,
+                        image_sz_arr)
         return {}
 
     def _init_crop_impl(self, im, bbox, target_scale, image_sz, *,
@@ -467,7 +471,8 @@ class ATOMTracker(BaseTracker):
         if fn is None:
             fn = self._jit_with_variables(
                 functools.partial(self._track_from_patch,
-                                  sample_sz=self._sample_sz))
+                                  sample_sz=self._sample_sz),
+                donate_state=True)  # (M, ...) Fourier memory reused in place
             self._jit_cache[("track", self._sample_sz)] = fn
         patches = crop(self.state, im)
         self.state, out = fn(self.variables, self.state, patches)

@@ -57,7 +57,7 @@ class ECOParams:
     precond_proj_param: float = 35.0
     # learning
     learning_rate: float = 0.0075          # deep block lr (used for sample weights)
-    sample_memory_size: int = 50           # reference uses 200; 50 keeps HBM modest
+    sample_memory_size: int = 200          # matches reference parameter/eco/default.py:42
     train_skipping: int = 10
     # features: (stride, compressed_dim, output_sigma_factor, translation_weight,
     #            reg_window_edge)
@@ -296,10 +296,14 @@ class ECOTracker(BaseTracker):
                                   filt_szs=tuple(filt_szs)))
             self._jit_cache[("init", sample_sz)] = fn
         image_sz_arr = jnp.asarray(true_hw, jnp.float32)
-        base_patch = crop(im, jnp.asarray(bbox), jnp.asarray(target_scale),
+        # explicit f32 (not weak-typed): a weak-typed target_scale in the init
+        # state retraces the track program on the SECOND frame (test_one_compile)
+        base_patch = crop(im, jnp.asarray(bbox),
+                          jnp.asarray(target_scale, jnp.float32),
                           image_sz_arr)
         self.state = fn(self.variables, base_patch, jnp.asarray(bbox),
-                        jnp.asarray(target_scale), key, yfs, reg_windows,
+                        jnp.asarray(target_scale, jnp.float32), key, yfs,
+                        reg_windows,
                         image_sz_arr)
         return {}
 
@@ -441,9 +445,14 @@ class ECOTracker(BaseTracker):
         key = ("track", self._sample_sz)
         fn = self._jit_cache.get(key)
         if fn is None:
+            # donate_state: the sample memory is (M, ...) complex64 per block —
+            # at the reference's M=200 a non-donated step COPIES those buffers
+            # every frame (measured on v5e: 15.3 ms/frame undonated vs 2.85
+            # donated; M=50 hid it at 2.6 vs 2.4)
             fn = self._jit_with_variables(functools.partial(
                 self._track_from_patch, sample_sz=self._sample_sz,
-                feat_szs=tuple(self._feat_szs), filt_szs=tuple(self._filt_szs)))
+                feat_szs=tuple(self._feat_szs), filt_szs=tuple(self._filt_szs)),
+                donate_state=True)
             self._jit_cache[key] = fn
         patches = crop(self.state, im)
         self.state, out = fn(self.variables, self.state, patches,
@@ -457,7 +466,8 @@ class ECOTracker(BaseTracker):
             ufn = self._jit_cache.get("update")
             if ufn is None:
                 ufn = self._jit_with_variables(functools.partial(
-                    self._update_impl, filt_szs=tuple(self._filt_szs)))
+                    self._update_impl, filt_szs=tuple(self._filt_szs)),
+                    donate_state=True)
                 self._jit_cache["update"] = ufn
             self.state = ufn(self.variables, self.state, self._static["yfs"],
                              self._static["reg_windows"])

@@ -189,12 +189,19 @@ class KeepTrackTracker(DiMPTracker):
         self.tcm_net = tcm_net
         self.tcm_variables = jax.device_put(tcm_variables) \
             if tcm_variables is not None else None
-        self._jit_part1 = self._jit_with_variables(self._track_part1)
-        self._jit_part1_patch = self._jit_with_variables(self._track_part1_from_patch)
-        self._jit_part2 = self._jit_with_variables(self._track_part2)
+        # donate_state on every state->state step: the 50-slot sample memory is
+        # reused in place (part1's state dies into part2; part2's into the next
+        # frame). Without this the device copies the memory buffers per frame.
+        self._jit_part1 = self._jit_with_variables(self._track_part1,
+                                                   donate_state=True)
+        self._jit_part1_patch = self._jit_with_variables(
+            self._track_part1_from_patch, donate_state=True)
+        self._jit_part2 = self._jit_with_variables(self._track_part2,
+                                                   donate_state=True)
         self.device_association = device_association
         if device_association:
-            self._jit_track = self._jit_with_variables(self._track_impl)
+            self._jit_track = self._jit_with_variables(self._track_impl,
+                                                       donate_state=True)
         self.candidate_collection: Optional[CandidateCollection] = None
 
     # ---------------------------------------------------------------- tcm helpers

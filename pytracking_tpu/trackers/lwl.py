@@ -92,7 +92,10 @@ class LWLTracker(BaseTracker):
         # frame (~100MB through the axon tunnel)
         self.variables = jax.device_put(variables)
         self._jit_init = self._jit_with_variables(self._initialize_impl)
-        self._jit_track = self._jit_with_variables(self._track_impl)
+        # donate_state: the target-model sample memory + feature caches are
+        # full-resolution buffers — in-place reuse instead of a per-frame copy
+        self._jit_track = self._jit_with_variables(self._track_impl,
+                                                   donate_state=True)
         self.state: Optional[LWLState] = None
         self.object_id = None
 

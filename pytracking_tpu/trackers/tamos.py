@@ -490,7 +490,10 @@ class TaMOsTracker(BaseTracker):
                           (max2 > p.hard_negative_threshold * max1) &
                           (max2 > p.target_not_found_threshold))
 
-        flag = jnp.asarray(FLAG_NORMAL)
+        # explicit int32 (not weak-typed): a weak-typed flag in the output
+        # state retraces the whole track program on the SECOND frame — the
+        # same bug 3f5bdd7 fixed for max_score; pinned by test_one_compile
+        flag = jnp.asarray(FLAG_NORMAL, jnp.int32)
         loc = disp1
         flag = jnp.where(hard_neg_plain, FLAG_HARD_NEG, flag)
         flag = jnp.where(uncertain_both, FLAG_UNCERTAIN, flag)

@@ -70,7 +70,7 @@ def measure_jit_track(name, module, tracker_cls, n=40, frame_hw=(480, 640)):
         finally:
             tracker.variables = prev
 
-    step = jax.jit(scan_fn)
+    step = jax.jit(scan_fn, donate_argnums=(1,))  # state reused in place, as in track()
     state, outs = step(tracker.variables, tracker.state, frames)
     jax.block_until_ready(outs)
     # best-of-3: the second dispatch can pay a one-time relayout recompile (the
@@ -219,7 +219,10 @@ def measure_eco(n=40):
         finally:
             tracker.variables = prev
 
-    step = jax.jit(scan_fn)
+    # donate the state like the production track path does — without it the
+    # (M, ...) complex64 sample buffers are COPIED per call (at the reference's
+    # M=200 that mismeasured 15.3 ms/frame vs the true 2.85)
+    step = jax.jit(scan_fn, donate_argnums=(1,))
     state, outs = step(tracker.variables, tracker.state, frames, yfs, regw)
     jax.block_until_ready(outs["target_bbox"])
     best = None
@@ -292,6 +295,8 @@ def measure_lwl(n=20):
         finally:
             tracker.variables = prev
 
+    # no donation: the carry aliases state.seg_raw twice (donating duplicated
+    # buffers is undefined); the copy cost is once per 20-frame call
     step = jax.jit(scan_fn)
     carry = (tracker.state, tracker.state.seg_raw)
     carry, boxes = step(tracker.variables, carry, frames)
