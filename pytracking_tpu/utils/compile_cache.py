@@ -86,8 +86,13 @@ def enable(directory: str | None = None) -> str | None:
     jax.config.update("jax_enable_compilation_cache", True)
     jax.config.update("jax_compilation_cache_dir", d)
     # cache everything: on this host even trivial compiles cost ~0.5 s of
-    # compile-service round-trip, and entries are a few KB
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.1)
+    # compile-service round-trip, and entries are a few KB. min_compile_time
+    # must be 0, not merely small: the remote compile service has its own
+    # HLO cache, and when it hits, the client-side measured compile time can
+    # fall under any threshold — observed as a first process that never
+    # persisted its big executables, so the SECOND process still paid a
+    # full compile (113 s init) before the entries finally landed
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
     jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
     _enabled = True
     return d

@@ -10,8 +10,10 @@ common frame-shape buckets — and persists the executables in
     python scripts/warm_cache.py --trackers dimp.dimp50 tomp.tomp50 \
         --shapes 480x640 1080x1920
 
-Measured (TPU v5e behind this harness's tunnel, MODEL_ZOO.md "cold start"):
-cold first-frame 34-300 s (compile-service load), warm ~2 s.
+Measured (TPU v5e behind this harness's tunnel, MODEL_ZOO.md "Warm-start"):
+cold ~70-76 s to first tracked frame (41-50 s init + ~26 s first tracks,
+compile-service-load dependent); seeded ~15-22 s (weight upload + executable
+deserialization + tracing — no compilation).
 """
 
 import argparse
@@ -23,12 +25,11 @@ import numpy as np
 
 
 def warm_one(name: str, shapes) -> None:
-    from pytracking_tpu.evaluation.tracker import TRACKER_CLASSES
-
     module, param = name.split(".")
     pm = importlib.import_module(f"pytracking_tpu.parameter.{module}.{param}")
     spec = pm.parameters()
-    cls = TRACKER_CLASSES[module]
+    cls = importlib.import_module(
+        f"pytracking_tpu.trackers.{module}").get_tracker_class()
     rng = np.random.default_rng(0)
     for H, W in shapes:
         tracker = cls(spec.params, spec.net, spec.variables)
