@@ -11,7 +11,8 @@ from pytracking_tpu.evaluation.environment import env_settings
 from pytracking_tpu.evaluation.tracker import TrackerSpec
 from pytracking_tpu.models.lwl.lwl_net import steepest_descent_resnet50_boxinit
 from pytracking_tpu.trackers.lwl import LWLParams
-from pytracking_tpu.utils.loading import load_network, load_or_init_variables
+from pytracking_tpu.utils.loading import (load_network, load_or_init_variables,
+                                          maybe_bf16_variables)
 
 
 def parameters() -> TrackerSpec:
@@ -51,4 +52,6 @@ def parameters() -> TrackerSpec:
             with open(cache + ".tmp", "wb") as f:
                 f.write(serialization.to_bytes(variables))
             os.replace(cache + ".tmp", cache)
-    return TrackerSpec(params=params, net=net, variables=variables)
+    # PYTRACKING_TPU_BF16=1: params stored bf16 (J-gated, see lwl_ytvos.py)
+    return TrackerSpec(params=params, net=net,
+                       variables=maybe_bf16_variables(variables))

@@ -8,7 +8,8 @@ from pytracking_tpu.evaluation.environment import env_settings
 from pytracking_tpu.evaluation.tracker import TrackerSpec
 from pytracking_tpu.models.lwl.lwl_net import steepest_descent_resnet50
 from pytracking_tpu.trackers.lwl import LWLParams
-from pytracking_tpu.utils.loading import load_network, load_or_init_variables
+from pytracking_tpu.utils.loading import (load_network, load_or_init_variables,
+                                          maybe_bf16_variables)
 
 
 def parameters() -> TrackerSpec:
@@ -30,4 +31,7 @@ def parameters() -> TrackerSpec:
         variables = load_or_init_variables(
             net, example,
             cache_path=os.path.join(env.network_path, "lwl_init.msgpack"))
-    return TrackerSpec(params=params, net=net, variables=variables)
+    # PYTRACKING_TPU_BF16=1: params stored bf16 (the VOS serving operating
+    # point; J-accuracy-gated by tests/test_bf16_harness_gate.py lwl gate)
+    return TrackerSpec(params=params, net=net,
+                       variables=maybe_bf16_variables(variables))

@@ -8,7 +8,8 @@ from pytracking_tpu.evaluation.environment import env_settings
 from pytracking_tpu.evaluation.tracker import TrackerSpec
 from pytracking_tpu.models.rts.rts_net import rts50
 from pytracking_tpu.trackers.rts import RTSParams
-from pytracking_tpu.utils.loading import load_network, load_or_init_variables
+from pytracking_tpu.utils.loading import (load_network, load_or_init_variables,
+                                          maybe_bf16_variables)
 
 
 def parameters() -> TrackerSpec:
@@ -45,5 +46,8 @@ def parameters() -> TrackerSpec:
             cache_path=os.path.join(env.network_path, "sta_init.msgpack"))
         return sta_net, sta_variables
 
-    return TrackerSpec(params=params, net=net, variables=variables,
+    # PYTRACKING_TPU_BF16=1: params stored bf16 (mask drift gated at the
+    # LWL level — same decoder/few-shot math; see test_bf16_harness_gate.py)
+    return TrackerSpec(params=params, net=net,
+                       variables=maybe_bf16_variables(variables),
                        tracker_kwargs={"sta_factory": sta_factory})

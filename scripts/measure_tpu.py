@@ -70,7 +70,13 @@ def measure_jit_track(name, module, tracker_cls, n=40, frame_hw=(480, 640)):
         finally:
             tracker.variables = prev
 
-    step = jax.jit(scan_fn, donate_argnums=(1,))  # state reused in place, as in track()
+    # NO donation here: measured on v5e, donating the scan carry made ATOM's
+    # scan 45x slower (57.7 vs 1.29 ms/frame — the donated initial state's
+    # layouts force per-iteration relayouts inside the scan). A scan already
+    # reuses its carry buffers in place within the call, so donating the
+    # initial state buys nothing. ECO's dedicated harness below is the
+    # exception (measured 15.3 -> 2.85 ms with donation at M=200).
+    step = jax.jit(scan_fn)
     state, outs = step(tracker.variables, tracker.state, frames)
     jax.block_until_ready(outs)
     # best-of-3: the second dispatch can pay a one-time relayout recompile (the

@@ -120,12 +120,20 @@ def profile_tamos():
     print(f"full fused track step:       {t_full:7.3f}")
 
 
-def profile_lwl():
+def profile_lwl(bf16=False):
     from pytracking_tpu.parameter.lwl.lwl_ytvos import parameters
     from pytracking_tpu.trackers.lwl import LWLTracker
 
     spec = parameters()
-    tracker = LWLTracker(spec.params, spec.net, spec.variables)
+    variables = spec.variables
+    if bf16:
+        # the VOS serving operating point: all f32 params STORED bf16
+        # (parallel/serving.py default; accuracy-gated by
+        # tests/test_bf16_harness_gate.py::test_bf16_lwl_vos_gate)
+        variables = jax.tree_util.tree_map(
+            lambda x: x.astype(jnp.bfloat16)
+            if hasattr(x, "dtype") and x.dtype == jnp.float32 else x, variables)
+    tracker = LWLTracker(spec.params, spec.net, variables)
     p = tracker.params
     Hs, Ws = p.image_sample_size
 
@@ -187,7 +195,8 @@ def profile_lwl():
 
 if __name__ == "__main__":
     which = sys.argv[1] if len(sys.argv) > 1 else "both"
+    bf16 = "--bf16" in sys.argv
     if which in ("tamos", "both"):
         profile_tamos()
     if which in ("lwl", "both"):
-        profile_lwl()
+        profile_lwl(bf16=bf16)

@@ -38,7 +38,7 @@ _SMOKE_MODULES = {
     "test_optim", "test_prroi_pool", "test_port_weights", "test_native_image",
     "test_dataset_adapters", "test_train_datasets", "test_evaluation_harness",
     "test_misc_surfaces", "test_video_generic", "test_shape_buckets",
-    "test_data_pipeline_round2",
+    "test_data_pipeline_round2", "test_compile_cache",
 }
 
 

@@ -83,3 +83,188 @@ def test_bf16_whole_harness_auc_gate(tmp_path):
     assert abs(m["auc"] - r["auc"]) <= 1.5, \
         f"bf16 AUC {m['auc']:.2f} vs f32 {r['auc']:.2f}"
     assert abs(m["prec_auc"] - r["prec_auc"]) <= 2.0
+
+
+@pytest.mark.filterwarnings("ignore")
+def test_bf16_tomp_harness_gate(tmp_path):
+    """bf16 gate for the transformer family (VERDICT r4 item 5): the serving
+    default stores params bf16 for EVERY family, but the r4 gate covered DiMP
+    only. This runs a ToMP with a briefly-trained, genuinely-tracking head
+    (same recipe as test_whole_harness_families2.test_whole_harness_tomp_trained)
+    through OUR full product twice — f32, then the serving bf16 transformation
+    (params stored bf16 + bf16 backbone/transformer compute, what
+    MODEL_ZOO's bf16 transformer serving rows measure) — and asserts the final
+    AUC tables agree within the DiMP gate's tolerance."""
+    import jax
+    import jax.numpy as jnp
+    import torch
+
+    import ltr.models.tracking.tompnet as ref_tompnet  # noqa: F401 (refshim)
+    from pytracking_tpu.models.tracking.tompnet import tompnet50
+    from pytracking_tpu.trackers.tomp import ToMPParams, ToMPTracker
+    from pytracking_tpu.utils import port_weights as pw
+    from tests.test_reference_parity import randomize_bn_stats
+    from tests.test_whole_harness_families2 import _train_reference_tomp
+
+    bench = _write_benchmark(os.path.join(str(tmp_path), "frames"))
+
+    torch.manual_seed(0)
+    ref_net = ref_tompnet.tompnet50(
+        backbone_pretrained=False, final_conv=True, head_feat_norm=True,
+        out_feature_dim=256, feature_sz=18, filter_size=1,
+        use_test_frame_encoding=False, frozen_backbone_layers=[])
+    randomize_bn_stats(ref_net)
+    _train_reference_tomp(ref_net)
+    sd = {k: v.numpy() for k, v in ref_net.state_dict().items()}
+    variables = pw.port_tompnet(sd)
+
+    def build(bf16):
+        net = tompnet50(feature_sz=18, out_feature_dim=256, filter_size=1,
+                        use_test_frame_encoding=False,
+                        backbone_dtype=jnp.bfloat16 if bf16 else None,
+                        transformer_dtype=jnp.bfloat16 if bf16 else None)
+        v = variables
+        if bf16:
+            v = jax.tree_util.tree_map(
+                lambda x: x.astype(jnp.bfloat16)
+                if hasattr(x, "dtype") and x.dtype == jnp.float32 else x, v)
+        return ToMPTracker(ToMPParams(), net, v)
+
+    f32_aucs, _ = _run_my_stack(tmp_path, bench, {"tomp_f32": build(False)})
+    bf16_aucs, _ = _run_my_stack(tmp_path, bench, {"tomp_bf16": build(True)})
+
+    r, m = f32_aucs["tomp_f32"], bf16_aucs["tomp_bf16"]
+    print("\n--- bf16 ToMP whole-harness gate ------------------------------")
+    print(f"f32  AUC {r['auc']:.2f}  Pauc {r['prec_auc']:.2f}")
+    print(f"bf16 AUC {m['auc']:.2f}  Pauc {m['prec_auc']:.2f}  "
+          f"dAUC {m['auc'] - r['auc']:+.2f}")
+
+    # measured operating point: the 120-step synthetic head reaches AUC ~27-31
+    # on this benchmark through OUR product (the families2 row gates the
+    # REFERENCE product at 30; cross-product dAUC is pinned there). Random /
+    # lost-target runs sit under 15 — 25 separates tracking from failure.
+    assert r["auc"] > 25.0, \
+        f"f32 ToMP AUC {r['auc']:.1f}: benchmark not actually tracked"
+    assert abs(m["auc"] - r["auc"]) <= 1.5, \
+        f"bf16 ToMP AUC {m['auc']:.2f} vs f32 {r['auc']:.2f}"
+    assert abs(m["prec_auc"] - r["prec_auc"]) <= 2.0
+
+
+@pytest.mark.filterwarnings("ignore")
+def test_bf16_lwl_vos_gate(tmp_path):
+    """bf16 gate for the VOS stack (VERDICT r4 item 5): LWL mask outputs under
+    the serving bf16 param cast (parallel/serving.py stores params bf16 for any
+    tracker — LWL had throughput rows but no accuracy row). Runs OUR full VOS
+    product twice on the synthetic DAVIS-style benchmark — f32 params vs the
+    identical net with every f32 param stored bf16 — and asserts the final J
+    tables and the per-frame masks agree. Reduced sample size (240x416 vs the
+    production 480x832) keeps the CPU wall-clock in budget; the decoder/few-shot
+    learner math is resolution-independent."""
+    import jax
+    import jax.numpy as jnp
+
+    from pytracking_tpu.models.lwl.lwl_net import steepest_descent_resnet50
+    from pytracking_tpu.trackers.lwl import LWLParams, LWLTracker
+    from pytracking_tpu.utils.png_io import imread_indexed
+    from tests.test_whole_harness_vos_multiobj import (_run_my_vos,
+                                                       _write_vos_benchmark)
+
+    bench = _write_vos_benchmark(os.path.join(str(tmp_path), "vosbench"))
+
+    net = steepest_descent_resnet50(
+        filter_size=3, num_filters=16, optim_iter=3, out_feature_dim=512,
+        label_encoder_dims=(16, 32, 64))
+    sz = 64
+    dummy_im = jnp.zeros((1, 1, sz, sz, 3))
+    dummy_mask = jnp.zeros((1, 1, sz, sz))
+    with jax.default_device(jax.devices("cpu")[0]):
+        variables = net.init(jax.random.PRNGKey(0), dummy_im, dummy_im,
+                             dummy_mask, num_refinement_iter=2, train=False)
+    params = replace(LWLParams(), image_sample_size=(15 * 16, 26 * 16))
+
+    j_f32 = _run_my_vos(tmp_path, bench, "lwl_f32", LWLTracker, params, net,
+                        variables)
+    bf16_vars = jax.tree_util.tree_map(
+        lambda x: x.astype(jnp.bfloat16)
+        if hasattr(x, "dtype") and x.dtype == jnp.float32 else x, variables)
+    j_bf16 = _run_my_vos(tmp_path, bench, "lwl_bf16", LWLTracker, params, net,
+                         bf16_vars)
+
+    # per-frame mask IoU between the f32 and bf16 runs' saved indexed PNGs
+    ious = []
+    for seq_name, frames, _, _ in bench:
+        d32 = os.path.join(str(tmp_path), "my_results", "lwl_f32",
+                           "harness_vos_segm", seq_name)
+        d16 = os.path.join(str(tmp_path), "my_results", "lwl_bf16",
+                           "harness_vos_segm", seq_name)
+        for fr in frames:
+            fn = os.path.splitext(os.path.basename(fr))[0] + ".png"
+            p32, p16 = os.path.join(d32, fn), os.path.join(d16, fn)
+            if not (os.path.isfile(p32) and os.path.isfile(p16)):
+                continue
+            a = imread_indexed(p32) == 1
+            b = imread_indexed(p16) == 1
+            ious.append(float((a & b).sum()) / max(float((a | b).sum()), 1.0))
+    mean_iou, min_iou = float(np.mean(ious)), float(np.min(ious))
+    print(f"\n--- bf16 LWL VOS gate --- J f32 {j_f32:.3f}  bf16 {j_bf16:.3f}  "
+          f"dJ {j_bf16 - j_f32:+.3f}  f32/bf16 mask IoU mean {mean_iou:.3f} "
+          f"min {min_iou:.3f}")
+    assert abs(j_bf16 - j_f32) <= 0.05, \
+        f"bf16 J {j_bf16:.3f} vs f32 {j_f32:.3f}"
+    assert mean_iou > 0.85, f"bf16 masks diverge from f32: mean {mean_iou:.3f}"
+
+
+@pytest.mark.filterwarnings("ignore")
+def test_bf16_tamos_score_gate():
+    """bf16 drift gate for TaMOs — the family where bf16 matters most (the GOT
+    filter predictor is HBM-bound on attention logits; bf16 transformer compute
+    measured the full step 15.3 -> 9.7 ms on v5e, MODEL_ZOO roofline). The
+    whole-harness TaMOs rows hold init boxes under random weights (scores below
+    the not-found threshold), so a harness AUC gate would be vacuous; the
+    decision-relevant surfaces are the score maps and dense LTRB regression.
+    Runs the REAL TaMOsNet architecture (ResNet-50 + 6+6-layer transformer +
+    FPN heads) at reduced image size, identical variables, f32 vs bf16
+    backbone+transformer compute, and gates the drift."""
+    import jax
+    import jax.numpy as jnp
+
+    from pytracking_tpu.models.tracking.tamosnet import tamosnet_resnet50
+    from pytracking_tpu.ops.dcf import gauss_2d
+
+    K = 3
+    H, W = 96, 144
+    h, w = H // 16, W // 16
+    kw = dict(feature_sz=max(h, w), num_tokens=K)
+    net32 = tamosnet_resnet50(**kw)
+    net16 = tamosnet_resnet50(**kw, backbone_dtype=jnp.bfloat16,
+                              transformer_dtype=jnp.bfloat16)
+
+    key = jax.random.PRNGKey(0)
+    tr = jax.random.uniform(key, (1, 1, H, W, 3)) * 255.0
+    te = jnp.roll(tr, (3, -5), axis=(2, 3))
+    centers = jnp.array([[2.0, 3.0], [1.5, 6.0], [4.0, 4.5]])
+    lab = jnp.stack([gauss_2d((h, w), 1.0, centers[k][None])[0]
+                     for k in range(K)])[None, None]          # (1, 1, K, h, w)
+
+    variables = net32.init(jax.random.PRNGKey(1), tr, te, lab, train=False)
+    s32, l32 = net32.apply(variables, tr, te, lab, train=False)
+    s16, l16 = net16.apply(variables, tr, te, lab, train=False)
+    s32, s16 = np.asarray(s32, np.float64), np.asarray(s16, np.float64)
+    l32, l16 = np.asarray(l32, np.float64), np.asarray(l16, np.float64)
+
+    corr = np.corrcoef(s32.ravel(), s16.ravel())[0, 1]
+    max_rel = abs(s16.max() - s32.max()) / max(abs(s32.max()), 1e-6)
+    # per-object argmax displacement on the high-res grid
+    disp = []
+    for k in range(K):
+        a = np.unravel_index(np.argmax(s32[0, 0, :, :, k]), s32.shape[2:4])
+        b = np.unravel_index(np.argmax(s16[0, 0, :, :, k]), s16.shape[2:4])
+        disp.append(max(abs(a[0] - b[0]), abs(a[1] - b[1])))
+    ltrb_err = np.median(np.abs(l16 - l32) / (np.abs(l32) + 1e-3))
+    print(f"\n--- bf16 TaMOs score gate --- corr {corr:.5f}  "
+          f"max-score rel diff {max_rel:.4f}  argmax disp {disp}  "
+          f"median ltrb rel err {ltrb_err:.4f}")
+    assert corr > 0.98, f"bf16 score maps diverge: corr {corr:.4f}"
+    assert max_rel < 0.05
+    assert max(disp) <= 2, f"bf16 moved an argmax by {max(disp)} cells"
+    assert ltrb_err < 0.05
