@@ -59,8 +59,28 @@ def _flash_attention_fn(query, key, value, mask=None, dropout_rng=None,
     # Pallas kernel only exists for TPU placement
     dd = jax.config.jax_default_device
     cpu_ctx = dd is not None and getattr(dd, "platform", None) == "cpu"
-    use_flash = (jax.default_backend() == "tpu" and not cpu_ctx and deterministic
-                 and Lq == Lk and Lq >= 256
+    on_tpu_inference = (jax.default_backend() == "tpu" and not cpu_ctx
+                        and deterministic and Lq == Lk and Lq >= 256)
+
+    # Our own fused kernel (ops/pallas_mha.py, D-on-sublanes layout, exact
+    # blocked softmax, logits never leave VMEM). PYTRACKING_TPU_FUSED_MHA:
+    # "1" always (also f32 — introduces bf16-matmul-level drift vs XLA f32),
+    # "0" never, default AUTO = bf16 compute only, where the numerics are
+    # indistinguishable from XLA's bf16 attention (measured max |Δ| 3.4e-3 at
+    # L=2592 on v5e — same order as the XLA-bf16-vs-f32 drift the accuracy
+    # gates in tests/test_bf16_harness_gate.py already cover) and the win is
+    # the (B·H, L, L) logits HBM round-trip.
+    fused_env = os.environ.get("PYTRACKING_TPU_FUSED_MHA", "auto")
+    want_fused = (fused_env == "1" or
+                  (fused_env not in ("0", "false") and dtype == jnp.bfloat16))
+    if on_tpu_inference and want_fused and D <= 32:
+        from pytracking_tpu.ops.pallas_mha import fused_self_attention
+        keep = mask[:, 0, 0, :] if mask is not None else None
+        q, k, v = (x.astype(dtype) if dtype is not None else x
+                   for x in (query, key, value))
+        return fused_self_attention(q, k, v, key_keep_mask=keep)
+
+    use_flash = (on_tpu_inference
                  and os.environ.get("PYTRACKING_TPU_FLASH_ATTENTION", "0") == "1")
     if not use_flash:
         return nn.dot_product_attention(
